@@ -1,0 +1,396 @@
+"""CDC apply: LSN-guarded MERGE of change-event micro-batches into the lake.
+
+The pipeline per epoch (SURVEY.md §7.2 step 3-8):
+
+  events ──▶ salted two-phase dedup (keep-max-LSN per doc_id)        [skew-proof]
+         ──▶ bucket pruning (only buckets with changes are touched)  [merge ∝ delta]
+         ──▶ full-outer join vs the touched bucket slice, LSN guard  [late events]
+         ──▶ rewrite touched buckets + atomic snapshot commit        [exactly-once]
+         ──▶ lineage + checkpoint rows                               [observability]
+
+Exactly-once: the epoch gate (``last_epoch_id``) lives in the *data table's*
+snapshot properties, so gate-update and data-commit are one atomic operation —
+a foreachBatch retry of an already-committed epoch is a no-op (reference
+analogue: OverWritePartition idempotent batch replay, SURVEY.md §1.4/J2).
+The checkpoint table is written after the data commit and is therefore only
+advisory; a crash between the two is healed by backfill on replay.
+
+Delete semantics: deletes write *tombstones* (``_deleted=true`` with the
+delete's lsn) rather than removing the row, so a late update with a lower lsn
+than the delete stays dead (SURVEY.md §7.4 hard part #1).  Compaction
+(lake/maintenance.py) may drop tombstones once the lsn horizon has passed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..lake.table import CommitConflict, LakeTable, PartitionField
+from ..schemas import (
+    EPOCH_CHECKPOINT_SCHEMA,
+    INTERNAL_DELETED,
+    INTERNAL_LAST_LSN,
+    LINEAGE_SCHEMA,
+    merge_schemas,
+    same_shape,
+)
+from .dedup import latest_by_key_salted
+
+EVENT_META_COLS = ("lsn", "op", "event_ts", "epoch_hint")
+BUCKET_PARTITION = "bucket"
+
+
+def create_cdc_table(
+    path: str, payload_schema: T.StructType, key_col: str = "doc_id", n_buckets: int = 16
+) -> LakeTable:
+    """Create the target lake table: payload + internal columns, bucketed on key.
+
+    ``n_buckets`` is the merge-parallelism unit: at 100 TB this would be
+    O(10^4-10^5) so one bucket is a few hundred MB and a merge rewrite of a
+    bucket is a single-task-sized unit of work.
+    """
+    schema = T.StructType(
+        list(payload_schema.fields)
+        + [
+            T.StructField(INTERNAL_LAST_LSN, T.LongType(), True),
+            T.StructField(INTERNAL_DELETED, T.BooleanType(), True),
+        ]
+    )
+    spec = [PartitionField(BUCKET_PARTITION, key_col, "bucket", n_buckets)]
+    return LakeTable.create(path, schema, spec)
+
+
+def _align(df: DataFrame, fields) -> DataFrame:
+    have = {f.name for f in df.schema.fields}
+    return df.select(
+        *[
+            (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in fields
+        ]
+    )
+
+
+@dataclass
+class ApplyResult:
+    epoch_id: int
+    snapshot_id: int
+    event_count: int
+    applied_inserts: int
+    applied_updates: int
+    applied_deletes: int
+    dropped_duplicates: int
+    dropped_stale: int
+    wall_ms: int
+    skipped: bool = False
+    evolved_schema: bool = False
+
+
+class CdcPipeline:
+    """One CDC target table + its lineage/checkpoint side tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        lineage_path: str | None = None,
+        checkpoint_path: str | None = None,
+        key_col: str = "doc_id",
+        n_salts: int = 8,
+    ):
+        self.spark = spark
+        self.table = LakeTable(table_path)
+        self.key_col = key_col
+        self.n_salts = n_salts
+        self.lineage = self._side_table(lineage_path, LINEAGE_SCHEMA)
+        self.checkpoint = self._side_table(checkpoint_path, EPOCH_CHECKPOINT_SCHEMA)
+
+    @staticmethod
+    def _side_table(path: str | None, schema: T.StructType) -> LakeTable | None:
+        if path is None:
+            return None
+        if LakeTable.exists(path):
+            return LakeTable(path)
+        return LakeTable.create(path, schema)
+
+    # ------------------------------------------------------------------ read
+    def read_state(self, snapshot_id: int | None = None) -> DataFrame:
+        """Current (or time-traveled) visible state: tombstones + internals hidden."""
+        df = self.table.read(self.spark, snapshot_id=snapshot_id)
+        df = df.where(~F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)))
+        return df.drop(INTERNAL_LAST_LSN, INTERNAL_DELETED)
+
+    def last_epoch_id(self) -> int:
+        return int(self.table.properties().get("last_epoch_id", -1))
+
+    # ----------------------------------------------------------------- apply
+    def apply_epoch(self, events: DataFrame, epoch_id: int) -> ApplyResult:
+        t0 = time.monotonic()
+        snap = self.table.current_snapshot()
+        if epoch_id <= int(snap.properties.get("last_epoch_id", -1)):
+            # replay of an already-committed epoch → exactly-once no-op;
+            # heal a possibly-missing checkpoint row (crash between data
+            # commit and checkpoint write).
+            self._backfill_checkpoint(epoch_id)
+            return ApplyResult(epoch_id, snap.snapshot_id, 0, 0, 0, 0, 0, 0, 0, skipped=True)
+
+        # ---- schema evolution: merge incoming payload schema into the table's
+        internal = {INTERNAL_LAST_LSN, INTERNAL_DELETED}
+        table_payload = T.StructType([f for f in snap.schema.fields if f.name not in internal])
+        ev_payload = T.StructType(
+            [f for f in events.schema.fields if f.name not in EVENT_META_COLS]
+        )
+        merged_payload = merge_schemas(table_payload, ev_payload)
+        evolved = not same_shape(merged_payload, table_payload)
+        if not evolved:
+            merged_payload = table_payload  # keep canonical nullability
+        new_schema = T.StructType(
+            list(merged_payload.fields)
+            + [
+                T.StructField(INTERNAL_LAST_LSN, T.LongType(), True),
+                T.StructField(INTERNAL_DELETED, T.BooleanType(), True),
+            ]
+        )
+        payload_cols = [f.name for f in merged_payload.fields if f.name != self.key_col]
+
+        # ---- per-source-partition lineage (offset ranges) — single scan
+        part_rows = (
+            events.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.min("lsn").alias("source_offset_min"),
+                F.max("lsn").alias("source_offset_max"),
+                F.count(F.lit(1)).alias("event_count"),
+            )
+            .collect()
+        )
+        events_in = sum(r["event_count"] for r in part_rows)
+
+        # ---- net change per key: salted two-phase keep-max-LSN dedup
+        net = latest_by_key_salted(
+            events, self.key_col, "lsn", self.n_salts, count_col="_fold_cnt", distinct_col="_dst_cnt"
+        )
+        net = _align(
+            net,
+            list(merged_payload.fields)
+            + [
+                T.StructField("lsn", T.LongType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("_fold_cnt", T.LongType()),
+                T.StructField("_dst_cnt", T.LongType()),
+            ],
+        )
+
+        spec = snap.partition_spec
+        bucket_expr = spec[0].expr() if spec else F.lit("0")
+        net = net.withColumn("_bucket_v", bucket_expr)
+
+        affected = [r["_bucket_v"] for r in net.select("_bucket_v").distinct().collect()]
+        if not affected:
+            # empty epoch: advance the gate with a data-less commit
+            new_snap = self.table.commit(
+                "merge", [], properties={"last_epoch_id": str(epoch_id), "epoch_id": str(epoch_id)},
+                expected_parent=snap.snapshot_id,
+            )
+            wall = int((time.monotonic() - t0) * 1000)
+            res = ApplyResult(epoch_id, new_snap.snapshot_id, events_in, 0, 0, 0, 0, 0, wall)
+            self._write_sidecars(res, part_rows)
+            return res
+
+        target = self.table.read(
+            self.spark, partition_filter={BUCKET_PARTITION: set(affected)} if spec else None
+        )
+        target = _align(target, new_schema.fields)
+
+        # ---- LSN-guarded resolve (full outer join on the key)
+        s, t = net.alias("s"), target.alias("t")
+        joined = s.join(t, F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"), "full_outer")
+
+        s_lsn = F.col("s.lsn")
+        t_lsn = F.col(f"t.{INTERNAL_LAST_LSN}")
+        is_event = s_lsn.isNotNull()
+        event_wins = is_event & (t_lsn.isNull() | (s_lsn > t_lsn))
+        is_delete = F.col("s.op") == "D"
+        t_absent = F.col(f"t.{self.key_col}").isNull() | F.coalesce(
+            F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)
+        )
+
+        out_cols = [
+            F.coalesce(F.col(f"s.{self.key_col}"), F.col(f"t.{self.key_col}")).alias(self.key_col)
+        ]
+        for c in payload_cols:
+            out_cols.append(
+                F.when(event_wins & is_delete, F.lit(None).cast(merged_payload[c].dataType))
+                .when(event_wins, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        out_cols.append(
+            F.when(event_wins, s_lsn).otherwise(t_lsn).alias(INTERNAL_LAST_LSN)
+        )
+        out_cols.append(
+            F.when(event_wins, is_delete)
+            .otherwise(F.coalesce(F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)))
+            .alias(INTERNAL_DELETED)
+        )
+        # a redelivery of an already-applied lsn is a duplicate; a lower lsn
+        # than the applied one is a stale/late event
+        action = (
+            F.when(~is_event, F.lit("carry"))
+            .when(~event_wins & (s_lsn == t_lsn), F.lit("dup"))
+            .when(~event_wins, F.lit("stale"))
+            .when(is_delete, F.lit("delete"))
+            .when(t_absent, F.lit("insert"))
+            .otherwise(F.lit("update"))
+        )
+        merged = joined.select(
+            *out_cols,
+            action.alias("_action"),
+            F.coalesce(F.col("s._fold_cnt"), F.lit(0)).alias("_fold_cnt"),
+            F.coalesce(F.col("s._dst_cnt"), F.lit(0)).alias("_dst_cnt"),
+        )
+        merged.persist()
+        try:
+            stats = {
+                r["_action"]: (r["n"], r["folded"], r["distinct"])
+                for r in merged.groupBy("_action")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("_fold_cnt").alias("folded"),
+                    F.sum("_dst_cnt").alias("distinct"),
+                )
+                .collect()
+            }
+            n_of = lambda a: stats.get(a, (0, 0, 0))[0]
+            net_count = sum(v[0] for k, v in stats.items() if k != "carry")
+            total_dst = sum(v[2] for k, v in stats.items() if k != "carry")
+            # exact duplicates (same lsn redelivered) vs superseded-in-batch
+            # (lower lsn for the same key, lost last-writer-wins)
+            dropped_dup = (events_in - total_dst) + n_of("dup")
+            dropped_stale = (total_dst - net_count) + n_of("stale")
+
+            files = self.table.write_data_files(
+                merged.drop("_action", "_fold_cnt", "_dst_cnt"),
+                max(snap.schemas) + 1 if evolved else snap.schema_id,
+                spec,
+            )
+        finally:
+            merged.unpersist()
+
+        props = {"last_epoch_id": str(epoch_id), "epoch_id": str(epoch_id)}
+        try:
+            new_snap = self.table.commit(
+                "merge",
+                files,
+                replace_partitions=[{BUCKET_PARTITION: b} for b in affected] if spec else None,
+                replace_all=not spec,
+                new_schema=new_schema if evolved else None,
+                properties=props,
+                expected_parent=snap.snapshot_id,
+            )
+        except CommitConflict:
+            # someone else moved the table; if they committed our epoch the
+            # replay rule applies, otherwise surface the conflict
+            if epoch_id <= self.last_epoch_id():
+                return ApplyResult(epoch_id, self.table.current_snapshot().snapshot_id, 0, 0, 0, 0, 0, 0, 0, skipped=True)
+            raise
+
+        wall = int((time.monotonic() - t0) * 1000)
+        res = ApplyResult(
+            epoch_id=epoch_id,
+            snapshot_id=new_snap.snapshot_id,
+            event_count=events_in,
+            applied_inserts=n_of("insert"),
+            applied_updates=n_of("update"),
+            applied_deletes=n_of("delete"),
+            dropped_duplicates=dropped_dup,
+            dropped_stale=dropped_stale,
+            wall_ms=wall,
+            evolved_schema=evolved,
+        )
+        self._write_sidecars(res, part_rows)
+        return res
+
+    # ------------------------------------------------------------- sidecars
+    def _write_sidecars(self, res: ApplyResult, part_rows) -> None:
+        if self.lineage is not None:
+            rows = [
+                (
+                    res.epoch_id,
+                    int(r["partition_id"]),
+                    r["source_offset_min"],
+                    r["source_offset_max"],
+                    r["event_count"],
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                    res.snapshot_id,
+                )
+                for r in part_rows
+            ]
+            rows.append(
+                (
+                    res.epoch_id,
+                    -1,
+                    min((r["source_offset_min"] for r in part_rows), default=None),
+                    max((r["source_offset_max"] for r in part_rows), default=None),
+                    res.event_count,
+                    res.applied_inserts,
+                    res.applied_updates,
+                    res.applied_deletes,
+                    res.dropped_duplicates,
+                    res.dropped_stale,
+                    res.wall_ms,
+                    res.snapshot_id,
+                )
+            )
+            df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+            files = self.lineage.write_data_files(df, 0, [])
+            self.lineage.commit("append", files)
+        if self.checkpoint is not None:
+            self._write_checkpoint_row(res, part_rows)
+
+    def _write_checkpoint_row(self, res: ApplyResult, part_rows) -> None:
+        import datetime as _dt
+
+        row = (
+            res.epoch_id,
+            min((r["source_offset_min"] for r in part_rows), default=None) if part_rows else None,
+            max((r["source_offset_max"] for r in part_rows), default=None) if part_rows else None,
+            res.event_count,
+            res.snapshot_id,
+            _dt.datetime.now(_dt.timezone.utc),
+        )
+        df = self.spark.createDataFrame([row], EPOCH_CHECKPOINT_SCHEMA)
+        files = self.checkpoint.write_data_files(df, 0, [])
+        self.checkpoint.commit("append", files)
+
+    def _backfill_checkpoint(self, epoch_id: int) -> None:
+        """Heal a checkpoint row lost to a crash between commit and sidecar write.
+
+        Driver-side scan of snapshot manifests; at production scale the
+        epoch→snapshot mapping would be indexed, but the lookup is only hit on
+        crash replay so O(snapshots) is acceptable here.
+        """
+        if self.checkpoint is None:
+            return
+        existing = (
+            self.checkpoint.read(self.spark)
+            .where(F.col("epoch_id") == epoch_id)
+            .limit(1)
+            .count()
+        )
+        if existing:
+            return
+        snap_id = None
+        for sid in reversed(self.table.snapshot_ids()):
+            s = self.table.snapshot(sid)
+            if s.properties.get("epoch_id") == str(epoch_id):
+                snap_id = sid
+                break
+        res = ApplyResult(epoch_id, snap_id or -1, 0, 0, 0, 0, 0, 0, 0, skipped=True)
+        self._write_checkpoint_row(res, [])

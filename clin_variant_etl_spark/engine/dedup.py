@@ -1,0 +1,83 @@
+"""Dedup keep-latest-within-key — the E1 pattern, three implementations.
+
+The reference's CDC dedup (`KeepFirstWithinPartition(Seq("id"), desc(ingested_on))`,
+etl/fhir/FhirRawToNormalizedMappings.scala:14-17) keeps the newest version of
+each resource id.  Our key is ``doc_id`` and the order column is ``lsn``.
+
+Three variants, all order-insensitive and deterministic (SURVEY.md §7.4 rules
+out the reference's order-unstable orderBy+dropDuplicates E5 pattern):
+
+1. ``latest_by_key_window``  — row_number over (key, lsn desc): simple, but a
+   single hot key funnels its entire event mass through one task.
+2. ``latest_by_key_salted``  — two-phase max_by: pre-reduce per (key, salt)
+   so a hot key's rows are first reduced in S parallel tasks, then the S
+   survivors reduce per key.  Map-side partial aggregation + salt makes this
+   skew-proof; this is the engine default (north_star skew handling).
+3. ``latest_by_key_pandas``  — Arrow/pandas variant (applyInPandas) for the
+   cases where the reduction itself needs imperative logic; zero per-row
+   Python (vectorized idxmax within each Arrow batch group).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def latest_by_key_window(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    w = W.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def latest_by_key_salted(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    n_salts: int = 8,
+    count_col: str | None = None,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-proof keep-max-(order_col) per key.
+
+    Returns one row per key with the winning row's columns.  Optional lineage
+    outputs: ``count_col`` = input rows folded into the key (incl. exact
+    duplicates), ``distinct_col`` = distinct ``order_col`` values folded
+    (so duplicates = count - distinct, superseded = distinct - 1).
+
+    Salting on ``order_col`` keeps the distinct-count exact: equal order
+    values always land in the same salt group, so per-salt distinct counts
+    sum to the per-key distinct count.
+    """
+    payload = [c for c in df.columns if c != key]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts)))
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.max_by(F.struct(*payload), F.col(order_col)).alias("_w"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct(order_col).alias("_dst"),
+    )
+    phase2 = phase1.groupBy(key).agg(
+        F.max_by(F.col("_w"), F.col(f"_w.{order_col}")).alias("_w"),
+        F.sum("_cnt").alias("_cnt"),
+        F.sum("_dst").alias("_dst"),
+    )
+    cols = [F.col(key)] + [F.col(f"_w.{c}").alias(c) for c in payload]
+    if count_col:
+        cols.append(F.col("_cnt").alias(count_col))
+    if distinct_col:
+        cols.append(F.col("_dst").alias(distinct_col))
+    return phase2.select(*cols)
+
+
+def latest_by_key_pandas(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """applyInPandas variant: per-key groups arrive as Arrow batches; the
+    winner is picked with vectorized idxmax (no per-row Python)."""
+    schema = df.schema
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.loc[[pdf[order_col].idxmax()]]
+
+    return df.groupBy(key).applyInPandas(pick, schema=schema)

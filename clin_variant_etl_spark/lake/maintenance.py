@@ -1,0 +1,57 @@
+"""Table maintenance: compaction + snapshot expiry.
+
+Reference analogue: Delta ``compact`` (to ~100 files per chromosome) and
+``vacuum`` (keep 2 versions) in the publish step
+(etl/normalized/Consequences.scala:135-138; etl/script/schema/SchemaUtils.scala:46-89).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .table import LakeTable, Snapshot
+
+
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    drop_tombstones: bool = False,
+    deleted_col: str = "_deleted",
+) -> Snapshot:
+    """Rewrite the table into one file per partition (small-files compaction).
+
+    ``drop_tombstones`` physically removes delete markers — only safe once no
+    event older than the tombstone's lsn can still arrive (the caller owns the
+    lsn horizon; see engine/apply.py tombstone semantics).
+    """
+    snap = table.current_snapshot()
+    df = table.read(spark)
+    if drop_tombstones and deleted_col in df.columns:
+        df = df.where(~df[deleted_col])
+    files = table.write_data_files(df, snap.schema_id, snap.partition_spec)
+    return table.commit("compact", files, replace_all=True)
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
+    """Delete old snapshot manifests and garbage-collect unreferenced data files."""
+    ids = table.snapshot_ids()
+    if len(ids) <= keep_last:
+        return []
+    expired, kept = ids[:-keep_last], ids[-keep_last:]
+    referenced: set[str] = set()
+    for sid in kept:
+        for f in table.snapshot(sid).files:
+            referenced.add(f["path"])
+    candidates: set[str] = set()
+    for sid in expired:
+        for f in table.snapshot(sid).files:
+            candidates.add(f["path"])
+    for rel in candidates - referenced:
+        p = os.path.join(table.path, rel)
+        if os.path.exists(p):
+            os.unlink(p)
+    for sid in expired:
+        os.unlink(os.path.join(table.meta_dir, f"v{sid:08d}.json"))
+    return expired

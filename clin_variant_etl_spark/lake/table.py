@@ -1,0 +1,372 @@
+"""LakeTable — a from-scratch snapshot/manifest table format over parquet.
+
+Plays the role Delta Lake plays in the reference (SURVEY.md §1.4): keyed
+MERGE targets, partition overwrite, schema evolution in place, snapshot
+isolation / time travel, compaction — implemented as:
+
+- data files: immutable parquet under ``<table>/data/``, each tagged in the
+  manifest with its partition tuple and the schema-id it was written under;
+- snapshots: one self-contained JSON per commit under ``<table>/_meta/snapshots``,
+  committed via *exclusive create* (hard-link of a tmp file) so a commit is
+  atomic and two racing writers cannot both win the same version — the
+  equivalent of Delta's _delta_log protocol, minimized;
+- partition spec: identity columns and/or hash buckets
+  (``pmod(xxhash64(col), N)``), so CDC merges rewrite only affected buckets
+  and reads prune on partition values manifest-side *and* parquet-side;
+- schema evolution: every snapshot carries the full history of schemas; data
+  files written under old schemas are read with their own schema and aligned
+  (missing column → null, widened type → cast) at scan time — add/widen never
+  rewrites history (reference analogue: delta schema.autoMerge,
+  etl/conf/EtlConfiguration.scala:53).
+
+Scale notes (100 TB): the manifest is O(files); at production scale the file
+list per snapshot would be sharded into avro/parquet manifest files exactly as
+Iceberg does — the JSON here is the same structure with a single shard. All
+data-path work (write, read, align, prune) is executor-side Spark; the driver
+only touches the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same snapshot version first."""
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One element of the partition spec.
+
+    transform:
+      - "identity": partition value = string value of ``source_col``
+      - "bucket":   partition value = pmod(xxhash64(source_col), n)
+    """
+
+    name: str
+    source_col: str
+    transform: str = "identity"
+    n: int = 0
+
+    def expr(self) -> F.Column:
+        c = F.col(self.source_col)
+        if self.transform == "identity":
+            return c.cast("string")
+        if self.transform == "bucket":
+            return F.pmod(F.xxhash64(c), F.lit(self.n)).cast("int").cast("string")
+        raise ValueError(f"unknown transform {self.transform}")
+
+    def to_json(self) -> dict:
+        return {"name": self.name, "source_col": self.source_col, "transform": self.transform, "n": self.n}
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionField":
+        return PartitionField(d["name"], d["source_col"], d["transform"], d.get("n", 0))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str
+    timestamp_ms: int
+    schema_id: int
+    schemas: dict[int, T.StructType]
+    partition_spec: list[PartitionField]
+    files: list[dict]  # {"path", "partition": {name: str}, "schema_id", "rows"}
+    properties: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.schemas[self.schema_id]
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "operation": self.operation,
+            "timestamp_ms": self.timestamp_ms,
+            "schema_id": self.schema_id,
+            "schemas": {str(k): v.jsonValue() for k, v in self.schemas.items()},
+            "partition_spec": [p.to_json() for p in self.partition_spec],
+            "files": self.files,
+            "properties": self.properties,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            operation=d["operation"],
+            timestamp_ms=d["timestamp_ms"],
+            schema_id=d["schema_id"],
+            schemas={int(k): T.StructType.fromJson(v) for k, v in d["schemas"].items()},
+            partition_spec=[PartitionField.from_json(p) for p in d.get("partition_spec", [])],
+            files=d["files"],
+            properties=d.get("properties", {}),
+        )
+
+
+def _snap_path(meta_dir: str, sid: int) -> str:
+    return os.path.join(meta_dir, f"v{sid:08d}.json")
+
+
+class LakeTable:
+    """Handle on one lake table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta", "snapshots")
+        self.data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------------ meta
+    @staticmethod
+    def create(
+        path: str,
+        schema: T.StructType,
+        partition_spec: list[PartitionField] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        t = LakeTable(path)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = Snapshot(
+            snapshot_id=1,
+            parent_id=None,
+            operation="create",
+            timestamp_ms=int(time.time() * 1000),
+            schema_id=0,
+            schemas={0: schema},
+            partition_spec=partition_spec or [],
+            files=[],
+            properties=properties or {},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        d = os.path.join(path, "_meta", "snapshots")
+        return os.path.isdir(d) and any(f.startswith("v") for f in os.listdir(d))
+
+    def snapshot_ids(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def current_snapshot(self) -> Snapshot:
+        ids = self.snapshot_ids()
+        if not ids:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        return self.snapshot(ids[-1])
+
+    def snapshot(self, sid: int) -> Snapshot:
+        with open(_snap_path(self.meta_dir, sid)) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.current_snapshot().schema
+
+    @property
+    def partition_spec(self) -> list[PartitionField]:
+        return self.current_snapshot().partition_spec
+
+    def properties(self) -> dict[str, str]:
+        return self.current_snapshot().properties
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Atomic exclusive-create commit: tmp write + fsync + hard link."""
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(snap.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = _snap_path(self.meta_dir, snap.snapshot_id)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot {snap.snapshot_id} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    # ------------------------------------------------------------------ write
+    def _partition_exprs(self, spec: list[PartitionField]) -> list[F.Column]:
+        return [p.expr().alias(f"__p_{p.name}") for p in spec]
+
+    def write_data_files(
+        self,
+        df: DataFrame,
+        schema_id: int,
+        spec: list[PartitionField],
+        target_partitions: int | None = None,
+    ) -> list[dict]:
+        """Write df as new immutable data files; return manifest entries.
+
+        Partition columns are *duplicated* into ``__p_*`` columns for
+        partitionBy, so the originals stay inside the data files (no
+        per-file value reattachment at read time).
+        """
+        stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        pnames = [f"__p_{p.name}" for p in spec]
+        out = df.select("*", *self._partition_exprs(spec)) if spec else df
+        if spec:
+            # co-locate rows of one partition into one task → one file per
+            # partition value (plus AQE coalesce); mirrors the reference's
+            # repartition-before-write (EtlConfiguration.scala:47,52)
+            nparts = target_partitions or out.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            out = out.repartition(int(nparts), *pnames)
+            out.write.partitionBy(*pnames).mode("overwrite").parquet(stage)
+        else:
+            out.write.mode("overwrite").parquet(stage)
+
+        entries: list[dict] = []
+        for root, _dirs, files in os.walk(stage):
+            rel = os.path.relpath(root, stage)
+            pvals: dict[str, str] = {}
+            if rel != ".":
+                for part in rel.split(os.sep):
+                    k, _, v = part.partition("=")
+                    pvals[k.removeprefix("__p_")] = v
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                base = "-".join(f"{k}_{v}" for k, v in pvals.items()) or "full"
+                dst_name = f"{base}-{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(self.data_dir, dst_name)
+                nrows = pq.ParquetFile(src).metadata.num_rows
+                if nrows == 0:
+                    continue
+                os.rename(src, dst)
+                entries.append(
+                    {
+                        "path": os.path.join("data", dst_name),
+                        "partition": pvals,
+                        "schema_id": schema_id,
+                        "rows": nrows,
+                    }
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    def commit(
+        self,
+        operation: str,
+        new_files: list[dict],
+        replace_partitions: list[dict] | None = None,
+        replace_all: bool = False,
+        new_schema: T.StructType | None = None,
+        properties: dict[str, str] | None = None,
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot.
+
+        - replace_all: drop every parent file (OverWrite semantics)
+        - replace_partitions: drop parent files whose partition tuple is in
+          the list (OverWritePartition / merge-by-bucket semantics)
+        - otherwise: append
+        """
+        parent = self.current_snapshot()
+        if expected_parent is not None and parent.snapshot_id != expected_parent:
+            raise CommitConflict(f"parent moved: {parent.snapshot_id} != {expected_parent}")
+
+        if replace_all:
+            kept = []
+        elif replace_partitions:
+            drop = {tuple(sorted(p.items())) for p in replace_partitions}
+            kept = [f for f in parent.files if tuple(sorted(f["partition"].items())) not in drop]
+        else:
+            kept = list(parent.files)
+
+        schemas = dict(parent.schemas)
+        schema_id = parent.schema_id
+        if new_schema is not None and new_schema != parent.schema:
+            schema_id = max(schemas) + 1
+            schemas[schema_id] = new_schema
+
+        props = dict(parent.properties)
+        props.update(properties or {})
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            operation=operation,
+            timestamp_ms=int(time.time() * 1000),
+            schema_id=schema_id,
+            schemas=schemas,
+            partition_spec=parent.partition_spec,
+            files=kept + new_files,
+            properties=props,
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, set[str]] | None = None,
+    ) -> DataFrame:
+        """Scan the table (optionally time-traveled / partition-pruned).
+
+        Files are grouped by the schema-id they were written under; each group
+        is read with its own schema and aligned to the *current* schema
+        (missing → null, widen → cast) — in-place evolution without rewrite.
+        """
+        snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        files = snap.files
+        if partition_filter:
+            files = [
+                f
+                for f in files
+                if all(f["partition"].get(k) in v for k, v in partition_filter.items())
+            ]
+        if not files:
+            return spark.createDataFrame([], snap.schema)
+
+        cur = snap.schema
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.path, f["path"]))
+
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            src_schema = snap.schemas[sid]
+            df = spark.read.schema(src_schema).parquet(*paths)
+            if src_schema != cur:
+                have = {f.name for f in src_schema.fields}
+                cols = [
+                    (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in cur.fields
+                ]
+                df = df.select(*cols)
+            else:
+                df = df.select(*[f.name for f in cur.fields])
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def partitions_of(self, df: DataFrame) -> list[dict]:
+        """Distinct partition tuples present in df (driver-side, small)."""
+        spec = self.partition_spec
+        if not spec:
+            return []
+        rows = df.select(*self._partition_exprs(spec)).distinct().collect()
+        return [{p.name: r[f"__p_{p.name}"] for p in spec} for r in rows]

@@ -1,0 +1,72 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Mirrors the intent of the reference's global spark conf
+(reference: etl/conf/EtlConfiguration.scala:43-54):
+
+- explicit broadcast policy: the reference disables auto-broadcast
+  (autoBroadcastJoinThreshold=-1) because its rows are huge nested structs and
+  every broadcast is a deliberate `broadcast(df)` call.  Our rows (token arrays)
+  are bounded, so we keep auto-broadcast ON but still broadcast dimensions
+  explicitly in operators; AQE converts to broadcast at runtime when sizes allow.
+- merge pre-shuffle: the reference sets delta.merge.repartitionBeforeWrite=true;
+  our MERGE repartitions by bucket explicitly (lake/table.py).
+- corrected time parsing, UTC session TZ (duckdb-oracle comparability).
+- Arrow on for all pandas-UDF paths (zero per-row Python, north_star rule).
+- AQE on, incl. skew-join handling, on top of our explicit salting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def build_session(
+    app_name: str = "clin_variant_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the canonical SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    On a real cluster this would come from spark-submit; all other settings
+    are cluster-size independent.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # reference parity: map duplicate keys keep-last
+        # (etl/conf/EtlConfiguration.scala:50)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # reference parity: corrected (proleptic-Gregorian) time handling
+        # (etl/conf/EtlConfiguration.scala:48-49)
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
