@@ -1,0 +1,74 @@
+"""Structured Streaming front-end: tail the change log, apply per micro-batch.
+
+The reference simulates incrementality with batch ids + partition overwrite
+(SURVEY.md §2.J); this is the axis-A upgrade to a real stream:
+
+    readStream(file source over the event log)
+      → foreachBatch(CdcPipeline.apply_epoch)
+
+Exactly-once composition: Spark's streaming checkpoint guarantees each source
+file lands in exactly one micro-batch with a monotonic ``batchId``; the
+pipeline's epoch gate (stored in the data table's snapshot properties,
+atomically with the data) makes the apply idempotent under foreachBatch
+retries.  Together: a batch is applied exactly once even if the process dies
+between the table commit and the streaming-checkpoint advance.
+
+Pairing rule: one streaming checkpoint dir ↔ one target table.  Restarting
+with a *fresh* checkpoint against an already-populated table would replay
+batch ids from 0 and the gate would (correctly) skip them — resume must reuse
+the checkpoint, which is exactly Structured Streaming's contract.
+
+On a real cluster the same code tails Kafka or a binlog connector — only the
+``readStream`` source line changes; ordering is not required by the apply
+(late/duplicate events are resolved by LSN), so any at-least-once source works.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, types as T
+
+from ..engine.apply import CdcPipeline
+
+
+class StreamingCdc:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pipeline: CdcPipeline,
+        events_dir: str,
+        event_schema: T.StructType,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.pipeline = pipeline
+        self.events_dir = events_dir
+        self.event_schema = event_schema
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _reader(self):
+        r = (
+            self.spark.readStream.schema(self.event_schema)
+            # recursive lookup reads epoch=*/part-*.parquet without turning
+            # the epoch dir into an inferred partition column
+            .option("recursiveFileLookup", "true")
+        )
+        if self.max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return r.parquet(self.events_dir)
+
+    def run_available(self) -> None:
+        """Process everything currently in the log, then stop (availableNow).
+
+        Used for batch-drain runs and tests; a production tail would use
+        ``trigger(processingTime=...)`` with the same foreachBatch.
+        """
+        q = (
+            self._reader()
+            .writeStream.foreachBatch(lambda df, epoch_id: self.pipeline.apply_epoch(df, epoch_id))
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
