@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``    — flagship CDC query on /root/testdata/sf0.001.
+- ``queries()``       — every implemented operator from SURVEY.md §2 plus the
+  training-data pipeline family (dedup / similarity / text / multimodal),
+  registered in ``clin_variant_etl_spark/queries/``.
+- ``oracle_sql()``    — DuckDB-equivalent ANSI SQL per query (exact-match
+  discipline documented in clin_variant_etl_spark/queries/registry.py).
 """
 
 from __future__ import annotations
@@ -13,26 +14,49 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clin_variant_etl_spark.queries import all_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC latest-state-per-key (keep-max-LSN dedup, the engine's
+    core semantic) over the sf0.001 events table, enriched with a broadcast
+    customer-dimension join (reference pattern: etl/normalized/SNV.scala:40).
+    """
+    from pyspark.sql import functions as F
+
+    from clin_variant_etl_spark.engine.dedup import latest_by_key_salted
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    latest = latest_by_key_salted(
+        events.select("user_id", "event_id", "event_type", "value", "ts"),
+        key="user_id",
+        order_col="event_id",
+        n_salts=8,
+    )
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    return (
+        latest.join(F.broadcast(dim), "user_id", "left")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None
+    }

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The image/audio codecs are NOT available in this environment, so the decode
+step is a clearly-marked deterministic STUB (`_stub_decode`): it derives fake
+"media features" (dimensions, checksum) purely from the bytes, so the
+Spark-side plumbing — binary schema, Arrow batch shape, partition-parallel
+UDF execution — is real and oracle-checkable, while a production deployment
+would swap `_stub_decode` for PIL/ffmpeg calls (kept behind the same
+signature; see `decode_real` which raises NotImplementedError).
+
+Reference analogue: the per-partition external-processing pattern
+(etl/varsome/Varsome.scala:81-97 mapPartitions → here mapInPandas, I2→I3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from .registry import load, query
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def decode_real(payload: bytes) -> dict:
+    """Production decode hook (PIL / ffmpeg).  Not available in this env."""
+    raise NotImplementedError("media codecs not installed; use the stub decode path")
+
+
+def _stub_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decode: features are pure functions of the bytes.
+
+    Vectorized where pandas allows; the md5 per cell is the stubbed 'codec'
+    work (a real codec would be per-cell native code here too).
+    """
+    payload = batch["payload"]
+    md5s = payload.map(lambda b: hashlib.md5(b).hexdigest())
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_bytes": payload.map(len).astype("int64"),
+            "content_md5": md5s,
+            # fake dimensions from the first md5 hex bytes — deterministic
+            "fake_width": md5s.str.slice(0, 2).map(lambda h: int(h, 16)).astype("int64"),
+            "fake_height": md5s.str.slice(2, 4).map(lambda h: int(h, 16)).astype("int64"),
+        }
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS fake_width,
+       CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) AS fake_height
+FROM documents
+""",
+    survey="multimodal-decode,I2,I3,A10",
+)
+def multimodal_decode_features(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    # binary payload column: utf-8 bytes of the text stand in for media bytes
+    media = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            yield _stub_decode(pdf)
+
+    return media.mapInPandas(decode, schema=MEDIA_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, strlen(text) AS n_bytes FROM documents
+)
+SELECT doc_id,
+       CAST(n_bytes // 100 AS BIGINT) AS n_frames,
+       CAST(list_reduce(list_prepend(0, list_transform(
+              generate_series(0, CAST(n_bytes // 100 AS BIGINT) - 1), i -> i * 100)),
+            (a, b) -> a + b) AS BIGINT) AS sum_frame_offsets
+FROM m
+WHERE n_bytes >= 100
+""",
+    survey="multimodal-framesample,H-array,B2",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: compute per-'video' frame offsets (every 100
+    bytes) as an array column — the partition/batch shape a real frame
+    extractor would consume."""
+    d = load(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.col("text"))
+    n_frames = F.floor(n_bytes / 100).cast("long")
+    offsets = F.transform(
+        F.sequence(F.lit(0), (n_frames - 1).cast("int")), lambda i: i * 100
+    )
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), n_frames.alias("n_frames"), offsets.alias("o"))
+        .where(F.col("n_frames") >= 1)
+        .select(
+            "doc_id",
+            "n_frames",
+            F.aggregate(F.col("o"), F.lit(0), lambda a, b: a + b).cast("long").alias(
+                "sum_frame_offsets"
+            ),
+        )
+    )

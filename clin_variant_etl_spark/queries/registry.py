@@ -1,0 +1,59 @@
+"""Query registry: every operator the engine claims is backed by a
+(spark_fn, oracle_sql) pair, consumed by ``__spark_entry__.py``.
+
+Each query is registered with:
+- ``fn(spark, sf_dir) -> DataFrame``  — the PySpark implementation;
+- ``oracle``                          — equivalent ANSI SQL for DuckDB over the
+  same parquet tables (views ``region nation customer supplier part orders
+  lineitem events documents embeddings`` are pre-registered by the driver), or
+  ``None`` for genuinely non-SQL-expressible operators (rows-only check);
+- ``survey``                          — the SURVEY.md §2 operator ids covered.
+
+Exact-match discipline (the driver hash-compares values):
+- every integer output is ``long``/``BIGINT`` on both sides;
+- money is integer cents (``round(x*100)`` per row is exact: the synthetic
+  money columns are 2-decimal, verified error < 1e-9) — no float sums ever;
+- float outputs only from bitwise-deterministic ops (IEEE division of exact
+  integers, sequential left folds over arrays in identical order);
+- timestamps are TIMESTAMP_NTZ (wall-clock) → rendered with
+  date_format/strftime to strings where grouped or output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, survey: str = ""):
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, survey)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # import side-effect modules once
+    from . import cdc_events, multimodal, relational, simops, textops  # noqa: F401
+
+    return REGISTRY

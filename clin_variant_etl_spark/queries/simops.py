@@ -1,0 +1,187 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Exactness strategy: both Spark and the DuckDB oracle compute dot products as
+the SAME sequential left fold over doubles (Spark ``F.aggregate`` ≡ DuckDB
+``list_reduce``), so scores are bitwise identical — thresholds and rank
+orderings need no tolerance.
+
+Scale story (100 TB / 10^9 vectors):
+- brute-force top-k is the correctness baseline: a broadcast of the (small)
+  query set against a full scan of the corpus — one shuffle for the per-query
+  top-k aggregation;
+- the LSH path buckets vectors by random-hyperplane signs; candidate
+  generation becomes an equi-join on (bucket), i.e. shuffle ∝ bucket size,
+  not corpus², with skewed buckets handled by the same salting machinery as
+  the CDC merge (engine/dedup.py).
+Hyperplanes use small-integer weights (a deterministic, platform-portable
+stand-in for Gaussian planes): plane p, dim i → ((i+1)*31 + p*17) % 7 - 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .registry import load, query
+
+N_PLANES = 8
+N_QUERIES = 20
+TOP_K = 3
+COSINE_THRESHOLD = 0.4
+
+
+def _dot_fold_sql(a: str, b: str, n: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {n}), "
+        f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+# =========================================================================
+# Near-duplicate pairs by embedding cosine ≥ threshold (brute force at sf
+# scale; the LSH bucket query below is the 100 TB candidate-generation path).
+# =========================================================================
+@query(
+    "embed_cosine_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     n AS (SELECT vec_id, v,
+                  sqrt({_dot_fold_sql("v", "v")}) AS nrm
+           FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_dot_fold_sql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_dot_fold_sql("a.v", "b.v")} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+""",
+    survey="sim-cosine-dup,C2,H-array,I3",
+)
+def embed_cosine_pairs(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+# =========================================================================
+# Brute-force cosine top-k ANN baseline: query set (vec_id < N_QUERIES)
+# broadcast against the corpus; deterministic rank (score desc, id asc).
+# =========================================================================
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     n AS (SELECT vec_id, v, sqrt({_dot_fold_sql("v", "v")}) AS nrm FROM e),
+     q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+     scored AS (
+       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              {_dot_fold_sql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+       FROM q JOIN n c ON c.vec_id <> q.vec_id
+     )
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {TOP_K}
+""",
+    survey="sim-ann-topk,C1,E2,D6",
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    q = n.where(F.col("vec_id") < N_QUERIES)
+    scored = (
+        F.broadcast(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+            )
+        )
+        .join(n.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("c.v")) / (F.col("qn") * F.col("c.nrm"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+    )
+
+
+# =========================================================================
+# LSH bucketing (random-hyperplane signs): the scale path for candidate
+# generation — join on bucket instead of corpus².  Planes are deterministic
+# integer weights; sign bit = fold(dot) > 0 (bitwise-identical both sides).
+# =========================================================================
+def _plane_dot_sql(p: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+        f"i -> v[i] * CAST((((i) * 31 + {p} * 17) % 7) - 3 AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_bucket_sql = " + ".join(
+    f"CASE WHEN {_plane_dot_sql(p)} > 0 THEN {1 << p} ELSE 0 END" for p in range(N_PLANES)
+)
+
+_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     bucketed AS (
+       SELECT vec_id, CAST({_bucket_sql} AS BIGINT) AS bucket FROM e
+     )
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@query("ann_lsh_buckets", oracle=_LSH_ORACLE, survey="sim-ann-lsh,D1,H-array,I3")
+def ann_lsh_buckets(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    def mk_weights(p: int):
+        # single-arg lambda (PySpark would feed the array index to a 2nd param)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((i * 31 + F.lit(p * 17)) % 7 - 3).cast("double"),
+        )
+
+    bucket = None
+    for p in range(N_PLANES):
+        d = _dot(F.col("v"), mk_weights(p))
+        term = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bucketed = e.select("vec_id", bucket.cast("long").alias("bucket"))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.floor(F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("long").alias(
+            "n_candidate_pairs"
+        ),
+    )

@@ -1,0 +1,441 @@
+"""Training-data text pipeline: dedup families, quality scoring, language-ID,
+token counting, fingerprinting — over the ``documents`` table.
+
+Design rules for oracle exactness:
+- tokenization = ``regexp_split(lower(text), ' +')`` with empty tokens removed
+  (identical semantics in Spark and DuckDB);
+- all hashing via ``md5`` (identical lowercase-hex output both sides);
+- MinHash permutations = lexicographic min of ``md5(perm_salt || shingle)`` —
+  a portable, exact minhash family (no platform hash functions);
+- SimHash uses the first 4 hex chars of ``md5(word)`` as a 16-bit hash,
+  hex decoded portably (Spark ``conv``; DuckDB ``'0x…'::INT``);
+- Jaccard thresholds are integer cross-multiplications (no float compare).
+
+At 100 TB the shingle→doc inverted index is the shuffle-heavy step: the
+explode is map-side, the pair-generation join shuffles on the shingle value,
+and hot shingles (stopword runs) would be dropped by a document-frequency cap
+before the join (implemented here as a configurable ``max_df`` filter — the
+same technique as salting a skewed join key, SURVEY.md §4 skew row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+N_PERMS = 12
+N_BANDS = 4  # 3 rows per band
+ROWS_PER_BAND = N_PERMS // N_BANDS
+MAX_DF = 50  # document-frequency cap for shingles entering the pair join
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "y", "una", "por"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+LANG_ORDER = ["de", "en", "es", "fr", "zh"]  # deterministic tie-break: asc name
+
+
+def _words(col):
+    return F.filter(F.split(F.lower(col), " +"), lambda w: w != "")
+
+
+def _words_sql(col: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({col}), ' +'), w -> w <> '')"
+
+
+def _shingles(words, n=3):
+    """Distinct word n-gram shingles as strings (joined by single space)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
+    )
+    # guard: Spark sequence(0, negative) counts DOWN — short docs get none
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingles_sql(ws: str, n=3) -> str:
+    parts = " || ' ' || ".join(f"{ws}[i+{j}]" for j in range(n))
+    return (
+        f"(SELECT DISTINCT doc_id, {parts} AS s FROM words, "
+        f"LATERAL (SELECT unnest(generate_series(1, len({ws})-{n - 1})) AS i) g)"
+    )
+
+
+# =========================================================================
+# Exact dedup — hash-groupBy on normalized content (the dedup baseline);
+# reference analogue: groupBy-keys non-duplication etl/qc/variantlist/
+# NonDuplicationSNV.scala:10-16.
+# =========================================================================
+@query(
+    "dedup_exact_content",
+    oracle="""
+SELECT md5(lower(text)) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) >= 1
+""",
+    survey="dedup-exact,D9,H-string",
+)
+def dedup_exact_content(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.col("text"))).alias("content_hash"))
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") >= 1)
+    )
+
+
+# =========================================================================
+# N-gram Jaccard near-dup — 3-gram shingle inverted index → pair join →
+# integer-exact Jaccard ≥ 0.5.  The scale path: shingle DF-cap (MAX_DF)
+# bounds the worst-case pair fan-out per shingle.
+# =========================================================================
+_JACCARD_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, {_words_sql("text")} AS ws FROM documents
+), shingles AS (
+  SELECT doc_id, s FROM {_shingles_sql("ws")} sh
+), df AS (
+  SELECT s FROM shingles GROUP BY s HAVING COUNT(*) <= {MAX_DF}
+), kept AS (
+  SELECT sh.doc_id, sh.s FROM shingles sh JOIN df USING (s)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
+       CAST(p.inter AS BIGINT) AS n_common,
+       CAST(sa.n + sb.n - p.inter AS BIGINT) AS n_union,
+       CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE 2 * p.inter >= (sa.n + sb.n - p.inter)
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, survey="dedup-jaccard,C2,D1,H-array")
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
+    )
+    sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= MAX_DF)
+    kept = sh.join(df_ok.select("s"), "s")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_union", (F.col("na") + F.col("nb") - F.col("inter")).cast("long"))
+        .where(2 * F.col("inter") >= F.col("n_union"))
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("inter").cast("long").alias("n_common"),
+            "n_union",
+            (F.col("inter").cast("double") / F.col("n_union").cast("double")).alias("jaccard"),
+        )
+    )
+    return out
+
+
+# =========================================================================
+# MinHash + LSH banding — portable minhash (lexicographic min of salted md5),
+# band buckets, candidate pairs.  Scale path: bands shuffle on (band_id,
+# band_hash); a bucket-size cap would bound fan-out at 100 TB.
+# =========================================================================
+_sig_sql = ",\n       ".join(
+    f"MIN(md5('{p}|' || s)) AS h{p}" for p in range(N_PERMS)
+)
+_band_sql = ",\n       ".join(
+    "md5(" + " || '|' || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+    for b in range(N_BANDS)
+)
+_band_union = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM bands" for b in range(N_BANDS)
+)
+_MINHASH_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, {_words_sql("text")} AS ws FROM documents
+), shingles AS (
+  SELECT doc_id, s FROM {_shingles_sql("ws")} sh
+), sigs AS (
+  SELECT doc_id,
+       {_sig_sql}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id,
+       {_band_sql}
+  FROM sigs
+), exploded AS (
+  {_band_union}
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM exploded a
+JOIN exploded b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, survey="dedup-minhash-lsh,D1,C2,H-string")
+def dedup_minhash_lsh(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"h{p}")
+            for p in range(N_PERMS)
+        ]
+    )
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    bands = sigs.select("doc_id", *band_cols)
+    exploded = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band_id", "e.band_hash")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# =========================================================================
+# SimHash — 16-bit signature from word-level md5 hashes; near-dup pairs by
+# hamming distance ≤ 2 (brute-force verify over LSH-style band prefilter
+# would be the 100 TB path; at sf scale the signature table is tiny).
+# =========================================================================
+_simhash_bits_sql = " + ".join(
+    f"CASE WHEN (CAST(SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT)) > 0 "
+    f"THEN {1 << i} ELSE 0 END"
+    for i in range(16)
+)
+_SIMHASH_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, {_words_sql("text")} AS ws FROM documents
+), toks AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w.w), 1, 4)) AS BIGINT) AS h
+  FROM words, LATERAL unnest(ws) AS w(w)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({_simhash_bits_sql} AS BIGINT) AS simhash
+FROM toks
+GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, survey="dedup-simhash,D1,H-string,B4")
+def dedup_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(
+        F.col("doc_id").cast("long").alias("doc_id"), sim.cast("long").alias("simhash")
+    )
+
+
+# =========================================================================
+# Quality scoring + token counting (lang-ID stopword features share the
+# tokenizer).  All ratios are exact integer divisions rendered as doubles.
+# =========================================================================
+@query(
+    "text_quality_stats",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, n_chars, {_words_sql("text")} AS ws, text FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(list_filter(ws, x -> len(x) >= 5)) AS BIGINT) AS n_long_words,
+       CAST(list_reduce(list_prepend(0, list_transform(ws, x -> (len(x) + 3) // 4)),
+                        (a, b) -> a + b) AS BIGINT) AS n_subwords,
+       CAST(list_reduce(list_prepend(0, list_transform(ws, x -> len(x))), (a, b) -> a + b)
+            AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+       CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x)))
+            AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stopword_ratio
+FROM w
+WHERE len(ws) > 0
+""",
+    survey="text-quality,token-count,H-array,I3",
+)
+def text_quality_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    df = d.select("doc_id", "n_chars", ws.alias("ws")).where(F.size("ws") > 0)
+    n_words = F.size("ws").cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("ws"), lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    n_subwords = F.aggregate(
+        F.transform(F.col("ws"), lambda x: F.floor((F.length(x) + 3) / 4).cast("int")),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    n_stop = F.size(F.filter(F.col("ws"), lambda x: F.array_contains(en_stop, x)))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.filter(F.col("ws"), lambda x: F.length(x) >= 5)).cast("long").alias(
+            "n_long_words"
+        ),
+        n_subwords.cast("long").alias("n_subwords"),
+        (sum_len.cast("double") / n_words.cast("double")).alias("avg_word_len"),
+        (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+    )
+
+
+# =========================================================================
+# Language-ID — stopword-vote n-gram heuristic with a deterministic
+# CASE-ladder argmax (tie → alphabetically-first language).
+# =========================================================================
+_langid_ladder_sql = (
+    "CASE "
+    + " ".join(
+        f"WHEN {' AND '.join(f's_{lang} >= s_{other}' for other in LANG_ORDER if other != lang)} THEN '{lang}'"
+        for lang in LANG_ORDER
+    )
+    + " END"
+)
+_scores_sql = ",\n  ".join(
+    "len(list_filter(ws, x -> list_contains(["
+    + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    + f"], x))) AS s_{lang}"
+    for lang in LANG_ORDER
+)
+_LANGID_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_words_sql("text")} AS ws FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+  {_scores_sql}
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {_langid_ladder_sql} AS pred_lang,
+       lang AS actual_lang,
+       ({_langid_ladder_sql}) = lang AS is_match
+FROM scored
+"""
+
+
+@query("text_language_id", oracle=_LANGID_ORACLE, survey="text-langid,B4,B5,H-array")
+def text_language_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    df = d.select("doc_id", "lang", _words(F.col("text")).alias("ws"))
+    def stop_count(lang: str):
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        # closure (not a default arg: a 2-param lambda would receive the index)
+        return F.size(F.filter(F.col("ws"), lambda x: F.array_contains(arr, x)))
+
+    for lang in LANG_ORDER:
+        df = df.withColumn(f"s_{lang}", stop_count(lang))
+    pred = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        pred.alias("pred_lang"),
+        F.col("lang").alias("actual_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+# =========================================================================
+# Document fingerprinting — content md5 + winnowing-style min-hash of
+# word 5-grams (reference: sha1 deterministic row ids
+# etl/enriched/Variants.scala:119-120).
+# =========================================================================
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, text, {_words_sql("text")} AS ws FROM documents
+), grams AS (
+  SELECT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS g
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       md5(lower(w.text)) AS content_md5,
+       g.fp AS winnow_fp
+FROM words w
+JOIN (SELECT doc_id, MIN(g) AS fp FROM grams GROUP BY doc_id) g
+  ON g.doc_id = w.doc_id
+""",
+    survey="doc-fingerprint,H-string,D1",
+)
+def doc_fingerprints(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    grams5 = _shingles(ws, n=5)
+    fp = F.array_min(F.transform(grams5, lambda g: F.md5(g)))
+    return d.select("doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.lower(F.col("text"))).alias("content_md5"),
+        fp.alias("winnow_fp"),
+    ).where(F.col("winnow_fp").isNotNull())
