@@ -1,0 +1,155 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Two phases:
+1. **CDC apply throughput** — the BASELINE.json headline metric: generate a
+   deterministic change-event log (testgen, seeded), apply it epoch-by-epoch
+   through the full engine (salted dedup → LSN-guarded merge → atomic commit
+   → lineage), and report pre-dedup events/sec over the apply wall-clock.
+2. **Headline queries** — a representative slice of the operator-parity
+   registry at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), each
+   executed to a noop sink (full plan execution, no driver transfer).
+
+Environment knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir for the query phase (default sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_EVENTS  CDC event count (default 1_000_000)
+  SPARK_GRAFT_BENCH_MODE    'all' (default) | 'cdc' | 'queries'
+
+Scaling-efficiency protocol (BASELINE.md): run `python bench.py` twice with
+SPARK_GRAFT_CPUS=8 and =32 (SPARK_GRAFT_BENCH_MODE=cdc) on the same seed —
+scripts/scaling_bench.py automates this and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
+    from clin_variant_etl_spark.engine import CdcPipeline, create_cdc_table
+    from clin_variant_etl_spark.schemas import BASE_DOCS_SCHEMA
+    from clin_variant_etl_spark.testgen import (
+        EventGenConfig,
+        generate_change_events,
+        write_events_by_epoch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        n_epochs = 8
+        cfg = EventGenConfig(
+            n_docs=max(1000, n_events // 20),
+            n_events=n_events,
+            n_epochs=n_epochs,
+            dup_rate=0.05,
+            late_rate=0.05,
+            delete_rate=0.10,
+            hot_key_skew=1.1,
+            seed=42,
+        )
+        t_gen = time.monotonic()
+        tbl = generate_change_events(cfg)
+        ev_dir = os.path.join(tmp, "events")
+        write_events_by_epoch(tbl, ev_dir, files_per_epoch=n_cpus)
+        gen_s = time.monotonic() - t_gen
+
+        tpath = os.path.join(tmp, "table")
+        create_cdc_table(tpath, BASE_DOCS_SCHEMA, n_buckets=2 * n_cpus)
+        pipe = CdcPipeline(
+            spark,
+            tpath,
+            lineage_path=os.path.join(tmp, "lineage"),
+            checkpoint_path=os.path.join(tmp, "ckpt"),
+            n_salts=n_cpus,
+        )
+        total_events = 0
+        t0 = time.monotonic()
+        per_epoch = []
+        for ep in range(n_epochs):
+            df = spark.read.parquet(os.path.join(ev_dir, f"epoch={ep}"))
+            res = pipe.apply_epoch(df, ep)
+            total_events += res.event_count
+            per_epoch.append(round(res.wall_ms / 1000.0, 3))
+        apply_s = time.monotonic() - t0
+        return {
+            "events": total_events,
+            "apply_sec": round(apply_s, 3),
+            "events_per_sec": round(total_events / apply_s, 1),
+            "gen_sec": round(gen_s, 3),
+            "epoch_sec": per_epoch,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "top2_orders_per_customer",
+    "ship_latency_histogram",
+    "cdc_latest_state",
+    "cdc_latest_by_lsn_salted",
+    "session_stats_per_user",
+    "tumbling_hourly_activity",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_cosine_pairs",
+    "ann_topk_bruteforce",
+    "text_quality_stats",
+    "multimodal_decode_features",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from clin_variant_etl_spark.queries import all_queries
+
+    reg = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = reg[name]
+        t0 = time.monotonic()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from clin_variant_etl_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
+
+    spark = build_session(
+        "bench", master=f"local[{n_cpus}]", shuffle_partitions=max(n_cpus, 8)
+    )
+    try:
+        cdc = bench_cdc(spark, n_events, n_cpus) if mode in ("all", "cdc") else None
+        queries = bench_queries(spark, sf_dir) if mode in ("all", "queries") else {}
+    finally:
+        spark.stop()
+
+    sf = sf_dir.rstrip("/").split("sf")[-1] if "sf" in sf_dir else sf_dir
+    out = {
+        "metric": "cdc_apply_throughput",
+        "value": cdc["events_per_sec"] if cdc else sum(queries.values()),
+        "unit": "events/sec" if cdc else "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": n_cpus,
+        "cdc": cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,7 @@ class ApplyResult:
     wall_ms: int
     skipped: bool = False
     evolved_schema: bool = False
+    phase_ms: dict | None = None  # per-phase wall-clock (observability)
 
 
 class CdcPipeline:
@@ -128,6 +129,14 @@ class CdcPipeline:
     # ----------------------------------------------------------------- apply
     def apply_epoch(self, events: DataFrame, epoch_id: int) -> ApplyResult:
         t0 = time.monotonic()
+        phases: dict[str, int] = {}
+        _last = [t0]
+
+        def _mark(name: str) -> None:
+            now = time.monotonic()
+            phases[name] = int((now - _last[0]) * 1000)
+            _last[0] = now
+
         snap = self.table.current_snapshot()
         if epoch_id <= int(snap.properties.get("last_epoch_id", -1)):
             # replay of an already-committed epoch → exactly-once no-op;
@@ -166,8 +175,11 @@ class CdcPipeline:
             .collect()
         )
         events_in = sum(r["event_count"] for r in part_rows)
+        _mark("scan_offsets")
 
-        # ---- net change per key: salted two-phase keep-max-LSN dedup
+        # ---- net change per key: salted two-phase keep-max-LSN dedup.
+        # net is ≤1 row/key — small vs the event volume — so it is cached and
+        # reused by the stats pass and the merge write (one dedup execution).
         net = latest_by_key_salted(
             events, self.key_col, "lsn", self.n_salts, count_col="_fold_cnt", distinct_col="_dst_cnt"
         )
@@ -184,99 +196,117 @@ class CdcPipeline:
 
         spec = snap.partition_spec
         bucket_expr = spec[0].expr() if spec else F.lit("0")
-        net = net.withColumn("_bucket_v", bucket_expr)
-
-        affected = [r["_bucket_v"] for r in net.select("_bucket_v").distinct().collect()]
-        if not affected:
-            # empty epoch: advance the gate with a data-less commit
-            new_snap = self.table.commit(
-                "merge", [], properties={"last_epoch_id": str(epoch_id), "epoch_id": str(epoch_id)},
-                expected_parent=snap.snapshot_id,
-            )
-            wall = int((time.monotonic() - t0) * 1000)
-            res = ApplyResult(epoch_id, new_snap.snapshot_id, events_in, 0, 0, 0, 0, 0, wall)
-            self._write_sidecars(res, part_rows)
-            return res
-
-        target = self.table.read(
-            self.spark, partition_filter={BUCKET_PARTITION: set(affected)} if spec else None
-        )
-        target = _align(target, new_schema.fields)
-
-        # ---- LSN-guarded resolve (full outer join on the key)
-        s, t = net.alias("s"), target.alias("t")
-        joined = s.join(t, F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"), "full_outer")
-
-        s_lsn = F.col("s.lsn")
-        t_lsn = F.col(f"t.{INTERNAL_LAST_LSN}")
-        is_event = s_lsn.isNotNull()
-        event_wins = is_event & (t_lsn.isNull() | (s_lsn > t_lsn))
-        is_delete = F.col("s.op") == "D"
-        t_absent = F.col(f"t.{self.key_col}").isNull() | F.coalesce(
-            F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)
-        )
-
-        out_cols = [
-            F.coalesce(F.col(f"s.{self.key_col}"), F.col(f"t.{self.key_col}")).alias(self.key_col)
-        ]
-        for c in payload_cols:
-            out_cols.append(
-                F.when(event_wins & is_delete, F.lit(None).cast(merged_payload[c].dataType))
-                .when(event_wins, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-            )
-        out_cols.append(
-            F.when(event_wins, s_lsn).otherwise(t_lsn).alias(INTERNAL_LAST_LSN)
-        )
-        out_cols.append(
-            F.when(event_wins, is_delete)
-            .otherwise(F.coalesce(F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)))
-            .alias(INTERNAL_DELETED)
-        )
-        # a redelivery of an already-applied lsn is a duplicate; a lower lsn
-        # than the applied one is a stale/late event
-        action = (
-            F.when(~is_event, F.lit("carry"))
-            .when(~event_wins & (s_lsn == t_lsn), F.lit("dup"))
-            .when(~event_wins, F.lit("stale"))
-            .when(is_delete, F.lit("delete"))
-            .when(t_absent, F.lit("insert"))
-            .otherwise(F.lit("update"))
-        )
-        merged = joined.select(
-            *out_cols,
-            action.alias("_action"),
-            F.coalesce(F.col("s._fold_cnt"), F.lit(0)).alias("_fold_cnt"),
-            F.coalesce(F.col("s._dst_cnt"), F.lit(0)).alias("_dst_cnt"),
-        )
-        merged.persist()
+        net = net.withColumn("_bucket_v", bucket_expr).persist()
         try:
-            stats = {
-                r["_action"]: (r["n"], r["folded"], r["distinct"])
-                for r in merged.groupBy("_action")
+            # one aggregation delivers affected buckets AND the dedup totals
+            bucket_rows = (
+                net.groupBy("_bucket_v")
                 .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("_fold_cnt").alias("folded"),
-                    F.sum("_dst_cnt").alias("distinct"),
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.sum("_fold_cnt").alias("sum_cnt"),
+                    F.sum("_dst_cnt").alias("sum_dst"),
                 )
                 .collect()
-            }
-            n_of = lambda a: stats.get(a, (0, 0, 0))[0]
-            net_count = sum(v[0] for k, v in stats.items() if k != "carry")
-            total_dst = sum(v[2] for k, v in stats.items() if k != "carry")
+            )
+            _mark("dedup")
+            affected = [r["_bucket_v"] for r in bucket_rows]
+            net_count = sum(r["n_keys"] for r in bucket_rows)
+            total_dst = sum(r["sum_dst"] for r in bucket_rows)
+
+            if not affected:
+                # empty epoch: advance the gate with a data-less commit
+                new_snap = self.table.commit(
+                    "merge", [], properties={"last_epoch_id": str(epoch_id), "epoch_id": str(epoch_id)},
+                    expected_parent=snap.snapshot_id,
+                )
+                wall = int((time.monotonic() - t0) * 1000)
+                res = ApplyResult(
+                    epoch_id, new_snap.snapshot_id, events_in, 0, 0, 0, 0, 0, wall, phase_ms=phases
+                )
+                self._write_sidecars(res, part_rows)
+                return res
+
+            pfilter = {BUCKET_PARTITION: set(affected)} if spec else None
+
+            # ---- classification stats on a NARROW join (no token payloads):
+            # net (cached, ≤1 row/key) ⟕ target's (key, last_lsn, deleted)
+            # projection — the heavy payload columns never enter this pass.
+            tgt_narrow = self.table.read(self.spark, partition_filter=pfilter).select(
+                self.key_col, INTERNAL_LAST_LSN, INTERNAL_DELETED
+            )
+            s_lsn = F.col("s.lsn")
+            t_lsn = F.col(f"t.{INTERNAL_LAST_LSN}")
+            event_wins = t_lsn.isNull() | (s_lsn > t_lsn)
+            is_delete = F.col("s.op") == "D"
+            t_absent = F.col(f"t.{self.key_col}").isNull() | F.coalesce(
+                F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)
+            )
+            action = (
+                F.when(~event_wins & (s_lsn == t_lsn), F.lit("dup"))
+                .when(~event_wins, F.lit("stale"))
+                .when(is_delete, F.lit("delete"))
+                .when(t_absent, F.lit("insert"))
+                .otherwise(F.lit("update"))
+            )
+            cls = (
+                net.select(self.key_col, "lsn", "op")
+                .alias("s")
+                .join(
+                    tgt_narrow.alias("t"),
+                    F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"),
+                    "left",
+                )
+                .groupBy(action.alias("_action"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            stats = {r["_action"]: r["n"] for r in cls}
+            n_of = stats.get
             # exact duplicates (same lsn redelivered) vs superseded-in-batch
             # (lower lsn for the same key, lost last-writer-wins)
-            dropped_dup = (events_in - total_dst) + n_of("dup")
-            dropped_stale = (total_dst - net_count) + n_of("stale")
+            dropped_dup = (events_in - total_dst) + n_of("dup", 0)
+            dropped_stale = (total_dst - net_count) + n_of("stale", 0)
+            _mark("stats")
+
+            # ---- LSN-guarded resolve (full outer join on the key) + rewrite
+            target = self.table.read(self.spark, partition_filter=pfilter)
+            target = _align(target, new_schema.fields)
+            s, t = net.alias("s"), target.alias("t")
+            joined = s.join(
+                t, F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"), "full_outer"
+            )
+            is_event = s_lsn.isNotNull()
+            event_wins_full = is_event & (t_lsn.isNull() | (s_lsn > t_lsn))
+            out_cols = [
+                F.coalesce(F.col(f"s.{self.key_col}"), F.col(f"t.{self.key_col}")).alias(
+                    self.key_col
+                )
+            ]
+            for c in payload_cols:
+                out_cols.append(
+                    F.when(event_wins_full & is_delete, F.lit(None).cast(merged_payload[c].dataType))
+                    .when(event_wins_full, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                )
+            out_cols.append(
+                F.when(event_wins_full, s_lsn).otherwise(t_lsn).alias(INTERNAL_LAST_LSN)
+            )
+            out_cols.append(
+                F.when(event_wins_full, is_delete)
+                .otherwise(F.coalesce(F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)))
+                .alias(INTERNAL_DELETED)
+            )
+            merged = joined.select(*out_cols)
 
             files = self.table.write_data_files(
-                merged.drop("_action", "_fold_cnt", "_dst_cnt"),
+                merged,
                 max(snap.schemas) + 1 if evolved else snap.schema_id,
                 spec,
             )
+            _mark("write")
         finally:
-            merged.unpersist()
+            net.unpersist()
 
         props = {"last_epoch_id": str(epoch_id), "epoch_id": str(epoch_id)}
         try:
@@ -296,18 +326,20 @@ class CdcPipeline:
                 return ApplyResult(epoch_id, self.table.current_snapshot().snapshot_id, 0, 0, 0, 0, 0, 0, 0, skipped=True)
             raise
 
+        _mark("commit")
         wall = int((time.monotonic() - t0) * 1000)
         res = ApplyResult(
             epoch_id=epoch_id,
             snapshot_id=new_snap.snapshot_id,
             event_count=events_in,
-            applied_inserts=n_of("insert"),
-            applied_updates=n_of("update"),
-            applied_deletes=n_of("delete"),
+            applied_inserts=n_of("insert", 0),
+            applied_updates=n_of("update", 0),
+            applied_deletes=n_of("delete", 0),
             dropped_duplicates=dropped_dup,
             dropped_stale=dropped_stale,
             wall_ms=wall,
             evolved_schema=evolved,
+            phase_ms=phases,
         )
         self._write_sidecars(res, part_rows)
         return res
@@ -348,8 +380,7 @@ class CdcPipeline:
                     res.snapshot_id,
                 )
             )
-            df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-            files = self.lineage.write_data_files(df, 0, [])
+            files = self.lineage.append_rows_local(rows, LINEAGE_SCHEMA)
             self.lineage.commit("append", files)
         if self.checkpoint is not None:
             self._write_checkpoint_row(res, part_rows)
@@ -365,8 +396,7 @@ class CdcPipeline:
             res.snapshot_id,
             _dt.datetime.now(_dt.timezone.utc),
         )
-        df = self.spark.createDataFrame([row], EPOCH_CHECKPOINT_SCHEMA)
-        files = self.checkpoint.write_data_files(df, 0, [])
+        files = self.checkpoint.append_rows_local([row], EPOCH_CHECKPOINT_SCHEMA)
         self.checkpoint.commit("append", files)
 
     def _backfill_checkpoint(self, epoch_id: int) -> None:

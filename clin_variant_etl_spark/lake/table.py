@@ -264,6 +264,40 @@ class LakeTable:
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
+    def append_rows_local(self, rows: list[tuple], schema: T.StructType) -> list[dict]:
+        """Write a tiny driver-local row batch as one data file — NO Spark job.
+
+        Sidecar tables (lineage, checkpoint) receive a handful of rows per
+        epoch; writing them through a Spark write job costs 1-2 s of job
+        overhead each.  A driver-side pyarrow write is microseconds and the
+        manifest/commit path is identical.
+        """
+        import pyarrow as pa
+
+        _PA = {
+            "bigint": pa.int64(),
+            "int": pa.int32(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        arrays, names = [], []
+        for i, f in enumerate(schema.fields):
+            names.append(f.name)
+            arrays.append(pa.array([r[i] for r in rows], type=_PA[f.dataType.simpleString()]))
+        tbl = pa.table(dict(zip(names, arrays)))
+        dst_name = f"local-{uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, os.path.join(self.data_dir, dst_name))
+        return [
+            {
+                "path": os.path.join("data", dst_name),
+                "partition": {},
+                "schema_id": 0,
+                "rows": len(rows),
+            }
+        ]
+
     def commit(
         self,
         operation: str,

@@ -15,9 +15,6 @@ Reference analogue: the per-partition external-processing pattern
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
 from pyspark.sql import functions as F, types as T
 
 from .registry import load, query
@@ -36,26 +33,6 @@ MEDIA_SCHEMA = T.StructType(
 def decode_real(payload: bytes) -> dict:
     """Production decode hook (PIL / ffmpeg).  Not available in this env."""
     raise NotImplementedError("media codecs not installed; use the stub decode path")
-
-
-def _stub_decode(batch: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic fake decode: features are pure functions of the bytes.
-
-    Vectorized where pandas allows; the md5 per cell is the stubbed 'codec'
-    work (a real codec would be per-cell native code here too).
-    """
-    payload = batch["payload"]
-    md5s = payload.map(lambda b: hashlib.md5(b).hexdigest())
-    return pd.DataFrame(
-        {
-            "doc_id": batch["doc_id"].astype("int64"),
-            "n_bytes": payload.map(len).astype("int64"),
-            "content_md5": md5s,
-            # fake dimensions from the first md5 hex bytes — deterministic
-            "fake_width": md5s.str.slice(0, 2).map(lambda h: int(h, 16)).astype("int64"),
-            "fake_height": md5s.str.slice(2, 4).map(lambda h: int(h, 16)).astype("int64"),
-        }
-    )
 
 
 @query(
@@ -78,9 +55,27 @@ def multimodal_decode_features(spark, sf_dir):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
 
+    # the decode fn is fully self-contained (defined locally → cloudpickle
+    # serializes it by value, so executors never need this repo on sys.path)
     def decode(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
         for pdf in batches:
-            yield _stub_decode(pdf)
+            payload = pdf["payload"]
+            md5s = payload.map(lambda b: _hl.md5(b).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "content_md5": md5s,
+                    # fake dimensions from the first md5 hex bytes — the
+                    # deterministic STUB for the unavailable media codecs
+                    "fake_width": md5s.str.slice(0, 2).map(lambda h: int(h, 16)).astype("int64"),
+                    "fake_height": md5s.str.slice(2, 4).map(lambda h: int(h, 16)).astype("int64"),
+                }
+            )
 
     return media.mapInPandas(decode, schema=MEDIA_SCHEMA)
 

@@ -17,8 +17,8 @@ Hyperplanes use small-integer weights (a deterministic, platform-portable
 stand-in for Gaussian planes): plane p, dim i → ((i+1)*31 + p*17) % 7 - 3.
 """
 
-from __future__ import annotations
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import Window as W, functions as F
 
 from .registry import load, query
@@ -44,6 +44,33 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _dot_pandas_udf():
+    """Arrow-vectorized dot product with the SAME left-fold order as the
+    Catalyst `F.aggregate` fold and DuckDB `list_reduce` — the accumulation
+    loops over DIMENSIONS (64 iterations of whole-column numpy ops), so each
+    row computes ((0 + x₁y₁) + x₂y₂)… in IEEE doubles, bitwise identical to
+    the oracle, at numpy speed instead of interpreted-HOF speed (~50×).
+
+    Defined as a factory returning a locally-created UDF so cloudpickle
+    serializes it by value — executors don't need this repo on sys.path
+    (numpy/pandas are imported inside the UDF body on the worker).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return dot
+
+
 # =========================================================================
 # Near-duplicate pairs by embedding cosine ≥ threshold (brute force at sf
 # scale; the LSH bucket query below is the 100 TB candidate-generation path).
@@ -63,12 +90,14 @@ WHERE {_dot_fold_sql("a.v", "b.v")} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
     survey="sim-cosine-dup,C2,H-array,I3",
 )
 def embed_cosine_pairs(spark, sf_dir):
+    dot = _dot_pandas_udf()
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    # norms once per vector (500-5000 rows), pairs via the vectorized UDF
+    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     a, b = n.alias("a"), n.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -104,10 +133,11 @@ QUALIFY rk <= {TOP_K}
     survey="sim-ann-topk,C1,E2,D6",
 )
 def ann_topk_bruteforce(spark, sf_dir):
+    dot = _dot_pandas_udf()
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     q = n.where(F.col("vec_id") < N_QUERIES)
     scored = (
         F.broadcast(
@@ -121,7 +151,7 @@ def ann_topk_bruteforce(spark, sf_dir):
         .select(
             "query_id",
             F.col("c.vec_id").alias("neighbor_id"),
-            (_dot(F.col("qv"), F.col("c.v")) / (F.col("qn") * F.col("c.nrm"))).alias("cosine"),
+            (dot(F.col("qv"), F.col("c.v")) / (F.col("qn") * F.col("c.nrm"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())

@@ -134,7 +134,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sh = d.select(
         "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
     )
+    # the shingling HOF is the expensive part and this plan scans `sh` from
+    # five branches — materialize the cache eagerly so it runs exactly once
     sh.persist()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= MAX_DF)
     kept = sh.join(df_ok.select("s"), "s")

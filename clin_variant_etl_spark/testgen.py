@@ -96,9 +96,13 @@ def generate_change_events(cfg: EventGenConfig) -> pa.Table:
     n = cfg.n_events
 
     # --- key choice: Zipf-skewed over doc index --------------------------------
+    # bounded Zipf via inverse-CDF sampling (vectorized; numpy's rng.zipf uses
+    # rejection sampling which is ~100x slower for alpha near 1)
     if cfg.hot_key_skew and cfg.hot_key_skew > 1.0:
-        ranks = rng.zipf(cfg.hot_key_skew, size=n)
-        doc_idx = (ranks - 1) % cfg.n_docs
+        ranks = np.arange(1, cfg.n_docs + 1, dtype=np.float64)
+        pmf = ranks ** (-cfg.hot_key_skew)
+        cdf = np.cumsum(pmf / pmf.sum())
+        doc_idx = np.searchsorted(cdf, rng.random(n), side="right").clip(0, cfg.n_docs - 1)
     else:
         doc_idx = rng.integers(0, cfg.n_docs, size=n)
 
