@@ -30,33 +30,45 @@ import tempfile
 import time
 
 
-def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
-    from clin_variant_etl_spark.engine import CdcPipeline, create_cdc_table
-    from clin_variant_etl_spark.schemas import BASE_DOCS_SCHEMA
+def gen_events(n_events: int, out_dir: str, files_per_epoch: int, n_epochs: int = 8) -> float:
+    """Generate the deterministic CDC event log (seed 42) into out_dir."""
     from clin_variant_etl_spark.testgen import (
         EventGenConfig,
         generate_change_events,
         write_events_by_epoch,
     )
 
+    cfg = EventGenConfig(
+        n_docs=max(1000, n_events // 20),
+        n_events=n_events,
+        n_epochs=n_epochs,
+        dup_rate=0.05,
+        late_rate=0.05,
+        delete_rate=0.10,
+        hot_key_skew=1.1,
+        seed=42,
+    )
+    t_gen = time.monotonic()
+    tbl = generate_change_events(cfg)
+    write_events_by_epoch(tbl, out_dir, files_per_epoch=files_per_epoch)
+    return time.monotonic() - t_gen
+
+
+def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
+    from clin_variant_etl_spark.engine import CdcPipeline, create_cdc_table
+    from clin_variant_etl_spark.schemas import BASE_DOCS_SCHEMA
+
     tmp = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
-        n_epochs = 8
-        cfg = EventGenConfig(
-            n_docs=max(1000, n_events // 20),
-            n_events=n_events,
-            n_epochs=n_epochs,
-            dup_rate=0.05,
-            late_rate=0.05,
-            delete_rate=0.10,
-            hot_key_skew=1.1,
-            seed=42,
-        )
-        t_gen = time.monotonic()
-        tbl = generate_change_events(cfg)
-        ev_dir = os.path.join(tmp, "events")
-        write_events_by_epoch(tbl, ev_dir, files_per_epoch=n_cpus)
-        gen_s = time.monotonic() - t_gen
+        # a pre-generated input (scaling protocol: IDENTICAL input at both
+        # parallelism levels) can be injected via SPARK_GRAFT_BENCH_INPUT
+        pre = os.environ.get("SPARK_GRAFT_BENCH_INPUT")
+        if pre and os.path.isdir(pre):
+            ev_dir, gen_s = pre, 0.0
+        else:
+            ev_dir = os.path.join(tmp, "events")
+            gen_s = gen_events(n_events, ev_dir, files_per_epoch=n_cpus)
+        n_epochs = len([d for d in os.listdir(ev_dir) if d.startswith("epoch=")])
 
         tpath = os.path.join(tmp, "table")
         create_cdc_table(tpath, BASE_DOCS_SCHEMA, n_buckets=2 * n_cpus)

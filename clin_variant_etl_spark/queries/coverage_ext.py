@@ -1,0 +1,362 @@
+"""Coverage extension: the SURVEY.md §2 operator rows not already exercised by
+relational.py / cdc_events.py — null normalization (B6), join-and-nest (C3),
+array-containment join (C8), join-on-exploded-keys (C12), map-building agg
+(D5), driver-scalar injection (D7), unordered dropDuplicates (E3),
+multi-path union scan (A4/A6/G1), nested struct mutation (H-struct) — plus
+``cdc_engine_full_replay``: the REAL CdcPipeline (bucketed lake table, salted
+dedup, LSN-guarded merge, tombstone deletes, exactly-once commits) replaying
+the ``events`` table as a change log, oracle-checked against last-writer-wins
+SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+
+# =========================================================================
+# B6 — null normalization (reference: parseNullString/coalesce defaults,
+# etl/normalized/Franklin.scala:109-110; etl/es/PrepareGeneCentric.scala:72-77)
+# =========================================================================
+@query(
+    "null_normalize_status",
+    oracle="""
+SELECT COALESCE(NULLIF(o_orderstatus, 'P'), 'UNKNOWN') AS status_norm,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled
+FROM orders
+GROUP BY 1
+""",
+    survey="B6,B4,D2",
+)
+def null_normalize_status(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    norm = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("UNKNOWN"))
+    return (
+        o.groupBy(norm.alias("status_norm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulled"),
+        )
+    )
+
+
+# =========================================================================
+# C3 — join-and-nest: left join then pack the right side into ONE struct
+# column (reference joinAndMerge, etl/enriched/Variants.scala:288-300),
+# then flatten for the oracle comparison.
+# =========================================================================
+@query(
+    "join_nest_customer_orders",
+    oracle="""
+WITH stats AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY 1
+)
+SELECT c.c_custkey AS custkey,
+       COALESCE(s.n_orders, 0) AS n_orders,
+       COALESCE(s.total_cents, 0) AS total_cents
+FROM customer c LEFT JOIN stats s ON s.o_custkey = c.c_custkey
+WHERE c.c_custkey <= 300
+""",
+    survey="C3,C4,B6",
+)
+def join_nest_customer_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    o = load(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+    nested = (
+        c.join(stats, c.c_custkey == stats.o_custkey, "left")
+        # the C3 shape: the joined side carried as one struct column
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.struct(
+                F.col("n_orders").alias("n_orders"), F.col("total_cents").alias("total_cents")
+            ).alias("order_stats"),
+        )
+    )
+    return nested.select(
+        "custkey",
+        F.coalesce(F.col("order_stats.n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("order_stats.total_cents"), F.lit(0)).alias("total_cents"),
+    )
+
+
+# =========================================================================
+# C8 + D4 — array-containment (theta) join against a collected-array dim;
+# C12 — the explode→equi-join rewrite of the same join (both produce the
+# same answer; the oracle covers both).
+# (reference: array_contains(panels.symbol) joins, etl/enriched/Variants.scala:336;
+#  person⋈patient via array_contains, etl/fhir/EnrichedClinical.scala:157)
+# =========================================================================
+_MEMBERSHIP_ORACLE = """
+WITH dim AS (
+  SELECT label, list(vec_id ORDER BY vec_id) AS ids
+  FROM embeddings WHERE vec_id < 100 GROUP BY label
+)
+SELECT e.vec_id, CAST(d.label AS BIGINT) AS bucket_label,
+       CAST(len(d.ids) AS BIGINT) AS bucket_size
+FROM embeddings e JOIN dim d ON list_contains(d.ids, e.vec_id)
+"""
+
+
+@query("array_contains_join", oracle=_MEMBERSHIP_ORACLE, survey="C8,D4,H-array")
+def array_contains_join(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    dim = (
+        e.where(F.col("vec_id") < 100)
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+    )
+    return (
+        e.select("vec_id")
+        .join(F.broadcast(dim), F.array_contains(F.col("ids"), F.col("vec_id")))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("bucket_label"),
+            F.size("ids").cast("long").alias("bucket_size"),
+        )
+    )
+
+
+@query("explode_keys_join", oracle=_MEMBERSHIP_ORACLE, survey="C12,D4,H-array")
+def explode_keys_join(spark, sf_dir):
+    """Same membership join rewritten explode→equi-join — the shuffle-friendly
+    form the engine prefers at scale (no broadcast of wide arrays)."""
+    e = load(spark, sf_dir, "embeddings")
+    dim = (
+        e.where(F.col("vec_id") < 100)
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+    )
+    exploded = dim.select(
+        F.col("label"), F.size("ids").alias("bucket_size"), F.explode("ids").alias("member_id")
+    )
+    return (
+        e.select("vec_id")
+        .join(exploded, F.col("vec_id") == F.col("member_id"))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("bucket_label"),
+            F.col("bucket_size").cast("long").alias("bucket_size"),
+        )
+    )
+
+
+# =========================================================================
+# D5 — map-building aggregation rendered deterministically
+# (reference: map_from_entries(collect_list(...)), etl/normalized/Variants.scala:198)
+# =========================================================================
+@query(
+    "map_agg_source_counts",
+    oracle="""
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       string_agg(source || ':' || cnt, ',' ORDER BY source) AS source_counts,
+       CAST(COUNT(*) AS BIGINT) AS n_sources
+FROM per
+GROUP BY lang
+""",
+    survey="D5,D4,H-map",
+)
+def map_agg_source_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    m = F.map_from_entries(F.collect_list(F.struct("source", "cnt")))
+    rendered = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.map_entries(m)),
+            lambda e: F.concat(e.key, F.lit(":"), e.value.cast("string")),
+        ),
+    )
+    return per.groupBy("lang").agg(
+        rendered.alias("source_counts"), F.count(F.lit(1)).cast("long").alias("n_sources")
+    )
+
+
+# =========================================================================
+# D7 — aggregate-to-driver scalar injected back as a literal
+# (reference getPn: count → collect().head → lit(pn),
+#  etl/utils/FrequencyUtils.scala:91-107)
+# =========================================================================
+@query(
+    "driver_scalar_share",
+    oracle="""
+SELECT c_nationkey AS nationkey,
+       COUNT(*) AS n_customers,
+       CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS share
+FROM customer
+GROUP BY 1
+""",
+    survey="D7,D1",
+)
+def driver_scalar_share(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    total = c.count()  # driver-side scalar, re-injected as a literal
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("share"),
+    )
+
+
+# =========================================================================
+# E3 — unordered dropDuplicates (deterministic key-only projection)
+# (reference: dropDuplicates(keyCols), etl/normalized/Variants.scala:123)
+# =========================================================================
+@query(
+    "drop_duplicates_keys",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    survey="E3,D9",
+)
+def drop_duplicates_keys(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+
+
+# =========================================================================
+# A4/A6/G1 — multi-path scan union with schema tolerance
+# (reference: Franklin per-analysis union, etl/normalized/Franklin.scala:31-57;
+#  unionByName allowMissingColumns, etl/enriched/Variants.scala:81)
+# =========================================================================
+@query(
+    "union_parties",
+    oracle="""
+SELECT kind, nationkey, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_segment
+FROM (
+  SELECT 'customer' AS kind, c_nationkey AS nationkey, c_mktsegment AS segment FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_nationkey AS nationkey, NULL AS segment FROM supplier
+) u
+GROUP BY 1, 2
+""",
+    survey="A4,A6,G1,G2,B6",
+)
+def union_parties(spark, sf_dir):
+    import functools
+
+    frames = [
+        load(spark, sf_dir, "customer").select(
+            F.lit("customer").alias("kind"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        load(spark, sf_dir, "supplier").select(
+            F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey")
+        ),
+    ]
+    u = functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+    return u.groupBy("kind", "nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("segment").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_segment"),
+    )
+
+
+# =========================================================================
+# H-struct — withField / dropFields nested mutation without rebuild
+# (reference: etl/enriched/CNV.scala:311; etl/utils/transformation/
+#  Transformations.scala:27-30)
+# =========================================================================
+@query(
+    "struct_mutation",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+       CAST(round(o_totalprice*100) AS BIGINT) + 100 AS total_plus_fee
+FROM orders WHERE o_orderkey <= 1000
+""",
+    survey="H-struct,B1",
+)
+def struct_mutation(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    s = F.struct(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    mutated = (
+        s.withField("total_plus_fee", s.getField("total_cents") + 100).dropFields("status")
+    )
+    return o.select(F.col("o_orderkey").alias("orderkey"), mutated.alias("m")).select(
+        "orderkey", F.col("m.total_cents").alias("total_cents"), F.col("m.total_plus_fee").alias("total_plus_fee")
+    )
+
+
+# =========================================================================
+# THE ENGINE ITSELF UNDER THE ORACLE GATE — replay ``events`` as a CDC
+# change log through the real CdcPipeline: bucketed lake table, salted
+# two-phase dedup, LSN-guarded merge with tombstone deletes, exactly-once
+# epoch commits.  Epochs are interleaved mod-4 slices of the LSN space, so
+# every epoch delivers events both older and newer than already-applied
+# state — the late/out-of-order path is exercised, not just the happy path.
+# Oracle: last-writer-wins by LSN; a user whose final event is an 'error'
+# (mapped to op=D) is tombstoned out.
+# =========================================================================
+@query(
+    "cdc_engine_full_replay",
+    oracle="""
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS last_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+   AND event_type <> 'error'
+""",
+    survey="engine,A5,A7,E1,J2,J4,J6,D9,F1",
+)
+def cdc_engine_full_replay(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..engine.apply import CdcPipeline, create_cdc_table
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("last_type", T.StringType(), True),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_s", T.StringType(), True),
+        ]
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("last_type"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_replay_q_")
+    tpath = f"{tmp}/table"
+    create_cdc_table(tpath, payload_schema, n_buckets=8)
+    pipe = CdcPipeline(
+        spark,
+        tpath,
+        lineage_path=f"{tmp}/lineage",
+        checkpoint_path=f"{tmp}/ckpt",
+        n_salts=4,
+    )
+    for epoch in range(4):
+        # interleaved LSN slices → late + out-of-order delivery by design
+        batch = ev.where(F.pmod(F.col("lsn"), F.lit(4)) == epoch)
+        pipe.apply_epoch(batch, epoch)
+    return pipe.read_state()

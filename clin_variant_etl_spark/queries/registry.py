@@ -54,6 +54,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect modules once
-    from . import cdc_events, multimodal, relational, simops, textops  # noqa: F401
+    from . import cdc_events, coverage_ext, multimodal, relational, simops, textops  # noqa: F401
 
     return REGISTRY
