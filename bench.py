@@ -30,7 +30,7 @@ import tempfile
 import time
 
 
-def gen_events(n_events: int, out_dir: str, files_per_epoch: int, n_epochs: int = 8) -> float:
+def gen_events(n_events: int, out_dir: str, files_per_epoch: int, n_epochs: int = 6) -> float:
     """Generate the deterministic CDC event log (seed 42) into out_dir."""
     from clin_variant_etl_spark.testgen import (
         EventGenConfig,
@@ -78,20 +78,33 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
             lineage_path=os.path.join(tmp, "lineage"),
             checkpoint_path=os.path.join(tmp, "ckpt"),
             n_salts=n_cpus,
+            # summary-only offset lineage: one fewer Spark job per epoch
+            # (global offsets observed for free during the dedup pass)
+            collect_part_stats=os.environ.get("SPARK_GRAFT_BENCH_PART_STATS", "0") == "1",
         )
+        # epoch 0 is JVM/codegen warmup — applied but excluded from the
+        # measured window (identical treatment at every parallelism level)
+        warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_EPOCHS", "1"))
         total_events = 0
-        t0 = time.monotonic()
+        t0 = None
         per_epoch = []
+        warm_events = 0
         for ep in range(n_epochs):
             df = spark.read.parquet(os.path.join(ev_dir, f"epoch={ep}"))
+            if ep == warmup:
+                t0 = time.monotonic()
             res = pipe.apply_epoch(df, ep)
-            total_events += res.event_count
+            if ep < warmup:
+                warm_events += res.event_count
+            else:
+                total_events += res.event_count
             per_epoch.append(round(res.wall_ms / 1000.0, 3))
-        apply_s = time.monotonic() - t0
+        apply_s = time.monotonic() - (t0 or time.monotonic())
         return {
             "events": total_events,
+            "warmup_events": warm_events,
             "apply_sec": round(apply_s, 3),
-            "events_per_sec": round(total_events / apply_s, 1),
+            "events_per_sec": round(total_events / apply_s, 1) if apply_s else 0.0,
             "gen_sec": round(gen_s, 3),
             "epoch_sec": per_epoch,
         }
@@ -123,8 +136,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from clin_variant_etl_spark.queries import all_queries
 
     reg = all_queries()
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERY_SET")
+    names = subset.split(",") if subset else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         spec = reg[name]
         t0 = time.monotonic()
         spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -138,7 +153,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "3000000"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
 
     spark = build_session(

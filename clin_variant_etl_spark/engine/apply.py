@@ -26,7 +26,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from ..lake.table import CommitConflict, LakeTable, PartitionField
 from ..schemas import (
@@ -100,13 +100,33 @@ class CdcPipeline:
         checkpoint_path: str | None = None,
         key_col: str = "doc_id",
         n_salts: int = 8,
+        collect_part_stats: bool = True,
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
         self.key_col = key_col
         self.n_salts = n_salts
+        # per-source-partition offset lineage costs one extra (narrow) scan
+        # per epoch; summary-only mode derives global offsets for free from
+        # an `observe` on the dedup pass (used by latency-critical callers)
+        self.collect_part_stats = collect_part_stats
         self.lineage = self._side_table(lineage_path, LINEAGE_SCHEMA)
         self.checkpoint = self._side_table(checkpoint_path, EPOCH_CHECKPOINT_SCHEMA)
+
+    @staticmethod
+    def _summary_part_rows(ev_stats: dict) -> list[dict]:
+        """Summary-only stand-in for per-partition offset rows (one logical
+        partition covering the whole epoch's offset range)."""
+        if not ev_stats.get("n"):
+            return []
+        return [
+            {
+                "partition_id": 0,
+                "source_offset_min": ev_stats["min_lsn"],
+                "source_offset_max": ev_stats["max_lsn"],
+                "event_count": ev_stats["n"],
+            }
+        ]
 
     @staticmethod
     def _side_table(path: str | None, schema: T.StructType) -> LakeTable | None:
@@ -164,24 +184,40 @@ class CdcPipeline:
         )
         payload_cols = [f.name for f in merged_payload.fields if f.name != self.key_col]
 
-        # ---- per-source-partition lineage (offset ranges) — single scan
-        part_rows = (
-            events.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.min("lsn").alias("source_offset_min"),
-                F.max("lsn").alias("source_offset_max"),
-                F.count(F.lit(1)).alias("event_count"),
+        # ---- per-source-partition lineage (offset ranges) — optional extra
+        # scan (`collect_part_stats`); global offsets/count always come FREE
+        # from an `observe` on the events scan inside the dedup job.
+        if self.collect_part_stats:
+            part_rows = (
+                events.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.min("lsn").alias("source_offset_min"),
+                    F.max("lsn").alias("source_offset_max"),
+                    F.count(F.lit(1)).alias("event_count"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        events_in = sum(r["event_count"] for r in part_rows)
-        _mark("scan_offsets")
+            _mark("scan_offsets")
+        else:
+            part_rows = []
 
         # ---- net change per key: salted two-phase keep-max-LSN dedup.
         # net is ≤1 row/key — small vs the event volume — so it is cached and
         # reused by the stats pass and the merge write (one dedup execution).
+        obs_ev = Observation(f"events-{epoch_id}")
+        events_observed = events.observe(
+            obs_ev,
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.count(F.lit(1)).alias("n"),
+        )
         net = latest_by_key_salted(
-            events, self.key_col, "lsn", self.n_salts, count_col="_fold_cnt", distinct_col="_dst_cnt"
+            events_observed,
+            self.key_col,
+            "lsn",
+            self.n_salts,
+            count_col="_fold_cnt",
+            distinct_col="_dst_cnt",
         )
         net = _align(
             net,
@@ -212,6 +248,11 @@ class CdcPipeline:
             affected = [r["_bucket_v"] for r in bucket_rows]
             net_count = sum(r["n_keys"] for r in bucket_rows)
             total_dst = sum(r["sum_dst"] for r in bucket_rows)
+            # global source stats observed for free during the dedup job
+            ev_stats = obs_ev.get
+            events_in = ev_stats["n"]
+            if not part_rows:
+                part_rows = self._summary_part_rows(ev_stats)
 
             if not affected:
                 # empty epoch: advance the gate with a data-less commit
@@ -228,55 +269,31 @@ class CdcPipeline:
 
             pfilter = {BUCKET_PARTITION: set(affected)} if spec else None
 
-            # ---- classification stats on a NARROW join (no token payloads):
-            # net (cached, ≤1 row/key) ⟕ target's (key, last_lsn, deleted)
-            # projection — the heavy payload columns never enter this pass.
-            tgt_narrow = self.table.read(self.spark, partition_filter=pfilter).select(
-                self.key_col, INTERNAL_LAST_LSN, INTERNAL_DELETED
-            )
-            s_lsn = F.col("s.lsn")
-            t_lsn = F.col(f"t.{INTERNAL_LAST_LSN}")
-            event_wins = t_lsn.isNull() | (s_lsn > t_lsn)
-            is_delete = F.col("s.op") == "D"
-            t_absent = F.col(f"t.{self.key_col}").isNull() | F.coalesce(
-                F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)
-            )
-            action = (
-                F.when(~event_wins & (s_lsn == t_lsn), F.lit("dup"))
-                .when(~event_wins, F.lit("stale"))
-                .when(is_delete, F.lit("delete"))
-                .when(t_absent, F.lit("insert"))
-                .otherwise(F.lit("update"))
-            )
-            cls = (
-                net.select(self.key_col, "lsn", "op")
-                .alias("s")
-                .join(
-                    tgt_narrow.alias("t"),
-                    F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"),
-                    "left",
-                )
-                .groupBy(action.alias("_action"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            stats = {r["_action"]: r["n"] for r in cls}
-            n_of = stats.get
-            # exact duplicates (same lsn redelivered) vs superseded-in-batch
-            # (lower lsn for the same key, lost last-writer-wins)
-            dropped_dup = (events_in - total_dst) + n_of("dup", 0)
-            dropped_stale = (total_dst - net_count) + n_of("stale", 0)
-            _mark("stats")
-
-            # ---- LSN-guarded resolve (full outer join on the key) + rewrite
+            # ---- LSN-guarded resolve (full outer join on the key) + rewrite.
+            # Classification stats are `observe`d on the SAME plan, so the
+            # merge write is the only action — no separate stats job.
             target = self.table.read(self.spark, partition_filter=pfilter)
             target = _align(target, new_schema.fields)
             s, t = net.alias("s"), target.alias("t")
             joined = s.join(
                 t, F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"), "full_outer"
             )
+            s_lsn = F.col("s.lsn")
+            t_lsn = F.col(f"t.{INTERNAL_LAST_LSN}")
+            is_delete = F.col("s.op") == "D"
+            t_absent = F.col(f"t.{self.key_col}").isNull() | F.coalesce(
+                F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)
+            )
             is_event = s_lsn.isNotNull()
-            event_wins_full = is_event & (t_lsn.isNull() | (s_lsn > t_lsn))
+            event_wins = is_event & (t_lsn.isNull() | (s_lsn > t_lsn))
+            action = (
+                F.when(~is_event, F.lit("carry"))
+                .when(~event_wins & (s_lsn == t_lsn), F.lit("dup"))
+                .when(~event_wins, F.lit("stale"))
+                .when(is_delete, F.lit("delete"))
+                .when(t_absent, F.lit("insert"))
+                .otherwise(F.lit("update"))
+            )
             out_cols = [
                 F.coalesce(F.col(f"s.{self.key_col}"), F.col(f"t.{self.key_col}")).alias(
                     self.key_col
@@ -284,26 +301,39 @@ class CdcPipeline:
             ]
             for c in payload_cols:
                 out_cols.append(
-                    F.when(event_wins_full & is_delete, F.lit(None).cast(merged_payload[c].dataType))
-                    .when(event_wins_full, F.col(f"s.{c}"))
+                    F.when(event_wins & is_delete, F.lit(None).cast(merged_payload[c].dataType))
+                    .when(event_wins, F.col(f"s.{c}"))
                     .otherwise(F.col(f"t.{c}"))
                     .alias(c)
                 )
             out_cols.append(
-                F.when(event_wins_full, s_lsn).otherwise(t_lsn).alias(INTERNAL_LAST_LSN)
+                F.when(event_wins, s_lsn).otherwise(t_lsn).alias(INTERNAL_LAST_LSN)
             )
             out_cols.append(
-                F.when(event_wins_full, is_delete)
+                F.when(event_wins, is_delete)
                 .otherwise(F.coalesce(F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)))
                 .alias(INTERNAL_DELETED)
             )
-            merged = joined.select(*out_cols)
+            merged = joined.select(*out_cols, action.alias("_action"))
+
+            obs_cls = Observation(f"cls-{epoch_id}")
+            counters = [
+                F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
+                for a in ("insert", "update", "delete", "dup", "stale")
+            ]
+            merged = merged.observe(obs_cls, *counters).drop("_action")
 
             files = self.table.write_data_files(
                 merged,
                 max(snap.schemas) + 1 if evolved else snap.schema_id,
                 spec,
             )
+            cls = obs_cls.get
+            n_of = lambda a, d=0: int(cls.get(a) or 0)  # noqa: E731
+            # exact duplicates (same lsn redelivered) vs superseded-in-batch
+            # (lower lsn for the same key, lost last-writer-wins)
+            dropped_dup = (events_in - total_dst) + n_of("dup")
+            dropped_stale = (total_dst - net_count) + n_of("stale")
             _mark("write")
         finally:
             net.unpersist()

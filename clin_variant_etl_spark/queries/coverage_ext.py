@@ -308,6 +308,119 @@ def struct_mutation(spark, sf_dir):
 # Oracle: last-writer-wins by LSN; a user whose final event is an 'error'
 # (mapped to op=D) is tombstoned out.
 # =========================================================================
+# =========================================================================
+# A7 load types under the oracle gate — Upsert and Scd1 applied through the
+# real LakeTable/load.py path on a temp table, final state vs SQL.
+# (reference: Upsert normalized_varsome etl/conf/EtlConfiguration.scala:87;
+#  Scd1 normalized_consequences :125,139)
+# =========================================================================
+@query(
+    "upsert_load_replay",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN CAST(round(o_totalprice*100) AS BIGINT) + 1
+            ELSE CAST(round(o_totalprice*100) AS BIGINT) END AS total_cents,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'b2' ELSE 'b1' END AS batch
+FROM orders
+WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+""",
+    survey="A7,load-upsert,J2",
+)
+def upsert_load_replay(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..lake import load as lake_load
+    from ..lake.table import LakeTable, PartitionField
+
+    schema = T.StructType(
+        [
+            T.StructField("orderkey", T.LongType(), False),
+            T.StructField("total_cents", T.LongType(), True),
+            T.StructField("batch", T.StringType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="upsert_q_")
+    tbl = LakeTable.create(
+        f"{tmp}/t", schema, [PartitionField("bucket", "orderkey", "bucket", 8)]
+    )
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    b1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("orderkey"), cents.alias("total_cents"), F.lit("b1").alias("batch")
+    )
+    b2 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        (cents + 1).alias("total_cents"),
+        F.lit("b2").alias("batch"),
+    )
+    lake_load.upsert(spark, tbl, b1, keys=["orderkey"])
+    lake_load.upsert(spark, tbl, b2, keys=["orderkey"])
+    return tbl.read(spark)
+
+
+@query(
+    "scd1_load_replay",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+            THEN 'U' ELSE o_orderstatus END AS status,
+       't1' AS created_on,
+       CASE WHEN o_orderkey % 3 = 0
+             AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 5 = 0)
+            THEN 't2' ELSE 't1' END AS updated_on
+FROM orders
+WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+""",
+    survey="A7,load-scd1,E1",
+)
+def scd1_load_replay(spark, sf_dir):
+    """SCD-1 semantics under the oracle gate.  Batch 2 (keys %3==0) rewrites
+    status to 'U' EXCEPT keys %5==0, which resend the unchanged payload —
+    so keys %30==0 exercise the no-payload-change branch: updated_on must
+    stay 't1' while changed rows bump to 't2'; created_on is preserved from
+    the existing row; keys only in batch 2 are plain inserts."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..lake import load as lake_load
+    from ..lake.table import LakeTable, PartitionField
+
+    schema = T.StructType(
+        [
+            T.StructField("orderkey", T.LongType(), False),
+            T.StructField("status", T.StringType(), True),
+            T.StructField("created_on", T.StringType(), True),
+            T.StructField("updated_on", T.StringType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="scd1_q_")
+    tbl = LakeTable.create(
+        f"{tmp}/t", schema, [PartitionField("bucket", "orderkey", "bucket", 8)]
+    )
+    o = load(spark, sf_dir, "orders")
+    b1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("t1").alias("created_on"),
+        F.lit("t1").alias("updated_on"),
+    )
+    b2 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_orderstatus"))
+        .otherwise(F.lit("U"))
+        .alias("status"),
+        F.lit("t1").alias("created_on"),
+        F.lit("t2").alias("updated_on"),
+    )
+    lake_load.scd1(spark, tbl, b1, keys=["orderkey"])
+    lake_load.scd1(spark, tbl, b2, keys=["orderkey"])
+    return tbl.read(spark)
+
+
 @query(
     "cdc_engine_full_replay",
     oracle="""
