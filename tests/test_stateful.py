@@ -1,0 +1,101 @@
+"""applyInPandasWithState dedup: per-key LSN watermark survives across
+micro-batches; duplicates/stale events absorbed stream-side."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F, types as T
+
+from clin_variant_etl_spark.streaming.stateful import dedup_stream
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _write_batch(d, name, rows):
+    tbl = pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows]),
+            "payload": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, name))
+
+
+def _drain(spark, src, ckpt, out_table):
+    q = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+        .transform(dedup_stream)
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: d1 gets lsn 1 then 3 (same batch → only 3 survives); d2 lsn 2
+    _write_batch(src, "b1.parquet", [(1, "d1", "a"), (3, "d1", "b"), (2, "d2", "c")])
+    # batch 2: d1 stale (2) and dup (3) → nothing; d2 advances to 5
+    _write_batch(src, "b2.parquet", [(2, "d1", "x"), (3, "d1", "b"), (5, "d2", "d")])
+    # batch 3: d1 advances to 9; new key d3
+    _write_batch(src, "b3.parquet", [(9, "d1", "z"), (4, "d3", "e")])
+
+    _drain(spark, src, str(tmp_path / "ck"), "survivors")
+    got = {
+        (r["doc_id"], r["lsn"]): r["payload"]
+        for r in spark.table("survivors").collect()
+    }
+    assert got == {
+        ("d1", 3): "b",
+        ("d2", 2): "c",
+        ("d2", 5): "d",
+        ("d1", 9): "z",
+        ("d3", 4): "e",
+    }
+
+
+def test_stateful_dedup_resume_from_checkpoint(spark, tmp_path):
+    """The memory sink can't recover a checkpoint — use the (fault-tolerant)
+    file sink to prove the state store restores across restarts."""
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .transform(dedup_stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch(src, "b1.parquet", [(7, "k", "v7")])
+    drain()
+    assert spark.read.schema(EV_SCHEMA).parquet(out).count() == 1
+    # restart: a stale event must still be suppressed by restored state
+    _write_batch(src, "b2.parquet", [(6, "k", "v6"), (8, "k", "v8")])
+    drain()
+    rows = {
+        (r["doc_id"], r["lsn"]) for r in spark.read.schema(EV_SCHEMA).parquet(out).collect()
+    }
+    assert rows == {("k", 7), ("k", 8)}
