@@ -19,17 +19,31 @@ def compact(
     table: LakeTable,
     drop_tombstones: bool = False,
     deleted_col: str = "_deleted",
+    lsn_col: str = "_last_lsn",
+    lsn_horizon: int | None = None,
 ) -> Snapshot:
     """Rewrite the table into one file per partition (small-files compaction).
 
-    ``drop_tombstones`` physically removes delete markers — only safe once no
-    event older than the tombstone's lsn can still arrive (the caller owns the
-    lsn horizon; see engine/apply.py tombstone semantics).
+    ``drop_tombstones`` physically removes delete markers.  A tombstone at
+    lsn L guards against late updates with lsn < L (SURVEY.md §7.4 hard part
+    #1): removing it early would let such a late event resurrect the row.
+    ``lsn_horizon`` is the caller's promise that no event with
+    lsn < horizon can still arrive (e.g. the source's retention low-water
+    mark): only tombstones BELOW the horizon are dropped; newer tombstones
+    are kept so the LSN guard stays intact.  ``lsn_horizon=None`` with
+    ``drop_tombstones=True`` drops them all (caller asserts the stream is
+    fully drained forever).
     """
+    from pyspark.sql import functions as F
+
     snap = table.current_snapshot()
     df = table.read(spark)
     if drop_tombstones and deleted_col in df.columns:
-        df = df.where(~df[deleted_col])
+        dead = F.coalesce(df[deleted_col], F.lit(False))
+        if lsn_horizon is not None and lsn_col in df.columns:
+            df = df.where(~(dead & (df[lsn_col] < lsn_horizon)))
+        else:
+            df = df.where(~dead)
     files = table.write_data_files(df, snap.schema_id, snap.partition_spec)
     return table.commit("compact", files, replace_all=True)
 
