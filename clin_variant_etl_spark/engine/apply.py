@@ -146,6 +146,35 @@ class CdcPipeline:
     def last_epoch_id(self) -> int:
         return int(self.table.properties().get("last_epoch_id", -1))
 
+    def resume_info(self) -> dict:
+        """Where to resume a batch-mode replay: last committed epoch (from
+        the atomic snapshot gate — authoritative) plus the applied source
+        offset high-water mark and per-epoch history (from the checkpoint
+        side table — advisory, healed on replay).  A driver restarting a
+        manual replay applies epochs > ``last_epoch_id`` / offsets >
+        ``max_lsn``; the epoch gate makes over-delivery harmless.
+        """
+        info = {"last_epoch_id": self.last_epoch_id(), "max_lsn": None, "epochs": []}
+        if self.checkpoint is not None:
+            rows = (
+                self.checkpoint.read(self.spark)
+                .orderBy("epoch_id")
+                .collect()
+            )
+            info["epochs"] = [
+                {
+                    "epoch_id": r["epoch_id"],
+                    "min_lsn": r["source_min_lsn"],
+                    "max_lsn": r["source_max_lsn"],
+                    "events": r["event_count"],
+                    "snapshot_id": r["snapshot_id"],
+                }
+                for r in rows
+            ]
+            lsns = [r["source_max_lsn"] for r in rows if r["source_max_lsn"] is not None]
+            info["max_lsn"] = max(lsns) if lsns else None
+        return info
+
     # ----------------------------------------------------------------- apply
     def apply_epoch(self, events: DataFrame, epoch_id: int) -> ApplyResult:
         t0 = time.monotonic()
