@@ -94,14 +94,19 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
             collect_part_stats=os.environ.get("SPARK_GRAFT_BENCH_PART_STATS", "0") == "1",
         )
         # epoch 0 is JVM/codegen warmup — applied but excluded from the
-        # measured window (identical treatment at every parallelism level)
+        # measured window (identical treatment at every parallelism level).
+        # SPARK_GRAFT_BENCH_EPOCH_GROUP=k merges k source epoch-dirs into one
+        # applied epoch — bigger epochs amortize the fixed per-epoch job
+        # latency (the Amdahl serial term in local mode).
         warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_EPOCHS", "1"))
+        group = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH_GROUP", "1"))
+        groups = [list(range(i, min(i + group, n_epochs))) for i in range(0, n_epochs, group)]
         total_events = 0
         t0 = None
         per_epoch = []
         warm_events = 0
-        for ep in range(n_epochs):
-            df = spark.read.parquet(os.path.join(ev_dir, f"epoch={ep}"))
+        for ep, g in enumerate(groups):
+            df = spark.read.parquet(*[os.path.join(ev_dir, f"epoch={i}") for i in g])
             if ep == warmup:
                 t0 = time.monotonic()
             res = pipe.apply_epoch(df, ep)
