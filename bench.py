@@ -99,7 +99,7 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
         # applied epoch — bigger epochs amortize the fixed per-epoch job
         # latency (the Amdahl serial term in local mode).
         warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_EPOCHS", "1"))
-        group = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH_GROUP", "1"))
+        group = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH_GROUP", "2"))
         groups = [list(range(i, min(i + group, n_epochs))) for i in range(0, n_epochs, group)]
         total_events = 0
         t0 = None

@@ -166,7 +166,9 @@ def main() -> None:
     today = datetime.date.today().isoformat()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # BENCH/BASELINE.md holds the curated cross-session analysis — automated
+    # runs land in SCALING_LATEST.md so they never clobber it
+    out = os.path.join(REPO, "BENCH", "SCALING_LATEST.md")
     with open(out, "w") as fh:
         fh.write(
             f"""# BENCH — CDC apply throughput & scaling efficiency ({today})
