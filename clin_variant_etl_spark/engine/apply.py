@@ -277,8 +277,14 @@ class CdcPipeline:
             affected = [r["_bucket_v"] for r in bucket_rows]
             net_count = sum(r["n_keys"] for r in bucket_rows)
             total_dst = sum(r["sum_dst"] for r in bucket_rows)
-            # global source stats observed for free during the dedup job
-            ev_stats = obs_ev.get
+            # global source stats observed for free during the dedup job.
+            # An EMPTY micro-batch (foreachBatch can deliver one) optimizes
+            # to a local relation whose CollectMetrics never materializes —
+            # Observation.get then fails JVM-side; treat as zero events.
+            try:
+                ev_stats = obs_ev.get
+            except Exception:
+                ev_stats = {"min_lsn": None, "max_lsn": None, "n": 0}
             events_in = ev_stats["n"]
             if not part_rows:
                 part_rows = self._summary_part_rows(ev_stats)
