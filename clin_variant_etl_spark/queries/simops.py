@@ -190,8 +190,9 @@ GROUP BY bucket
 """
 
 
-@query("ann_lsh_buckets", oracle=_LSH_ORACLE, survey="sim-ann-lsh,D1,H-array,I3")
-def ann_lsh_buckets(spark, sf_dir):
+def _bucketed(spark, sf_dir):
+    """vec_id, v, bucket — hyperplane-sign LSH bucket per vector (shared by
+    the bucket-stats query and the candidate-pair rescoring query)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -207,11 +208,68 @@ def ann_lsh_buckets(spark, sf_dir):
         d = _dot(F.col("v"), mk_weights(p))
         term = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    bucketed = e.select("vec_id", bucket.cast("long").alias("bucket"))
+    return e.select("vec_id", "v", bucket.cast("long").alias("bucket"))
+
+
+@query("ann_lsh_buckets", oracle=_LSH_ORACLE, survey="sim-ann-lsh,D1,H-array,I3")
+def ann_lsh_buckets(spark, sf_dir):
+    bucketed = _bucketed(spark, sf_dir).select("vec_id", "bucket")
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
         F.floor(F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("long").alias(
             "n_candidate_pairs"
         ),
+    )
+
+
+# =========================================================================
+# LSH candidates → exact cosine rescore: the END-TO-END scale path for
+# near-dup pair mining.  Candidate pairs come from an equi-join on the
+# hyperplane bucket (shuffle ∝ Σ bucket², never corpus²); each candidate is
+# rescored with the exact vectorized dot product and thresholded.  This
+# demotes `embed_cosine_pairs` (all-pairs theta-join) to a labeled
+# correctness baseline — at 10^9 vectors only this query is runnable.
+# Recall note: same-bucket is a prefilter (8 planes → pairs differing in any
+# sign bit are missed); production would union several plane sets (bands).
+# The oracle is restricted to same-bucket pairs, so results are exact.
+# =========================================================================
+_LSH_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     bucketed AS (
+       SELECT vec_id, v, CAST({_bucket_sql} AS BIGINT) AS bucket FROM e
+     ),
+     n AS (SELECT vec_id, v, bucket,
+                  sqrt({_dot_fold_sql("v", "v")}) AS nrm
+           FROM bucketed)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_dot_fold_sql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_dot_fold_sql("a.v", "b.v")} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+"""
+
+
+@query(
+    "embed_cosine_pairs_lsh",
+    oracle=_LSH_PAIRS_ORACLE,
+    survey="sim-cosine-dup,sim-ann-lsh,C2,I3",
+)
+def embed_cosine_pairs_lsh(spark, sf_dir):
+    dot = _dot_pandas_udf()
+    b = _bucketed(spark, sf_dir)
+    n = b.select("vec_id", "v", "bucket", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a, c = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
     )

@@ -130,21 +130,34 @@ WHERE 2 * p.inter >= (sa.n + sb.n - p.inter)
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, survey="dedup-jaccard,C2,D1,H-array")
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Pair generation via the inverted index GROUPED per shingle: one shuffle
+    on ``s`` builds (df, doc-list) per shingle; the DF cap drops hot shingles;
+    the i<j pair explosion is then NARROW (double explode over ≤MAX_DF-element
+    arrays, ≤ MAX_DF²/2 pairs per shingle) instead of a kept⋈kept self-join
+    that pushes O(Σ df²) rows through a second shuffle.
+
+    100-TB note: ``collect_list`` state for an over-cap shingle is transient
+    but unbounded; at production scale pre-filter with a count-only aggregate
+    + semi-join (one extra shuffle) so agg state stays ≤ MAX_DF per key.
+    """
     d = load(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
     )
-    # the shingling HOF is the expensive part and this plan scans `sh` from
-    # five branches — materialize the cache eagerly so it runs exactly once
+    # two branches (sizes, groups) consume the shingling HOF — lazy persist
+    # serves the first action and caches for the second (no extra job)
     sh.persist()
-    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    df_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= MAX_DF)
-    kept = sh.join(df_ok.select("s"), "s")
-    a, b = kept.alias("a"), kept.alias("b")
+    groups = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"), F.collect_list("doc_id").alias("_docs"))
+        .where(F.col("_df") <= MAX_DF)
+    )
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        groups.select(F.explode("_docs").alias("doc_a"), "_docs")
+        .select("doc_a", F.explode("_docs").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -269,8 +282,8 @@ GROUP BY doc_id
 """
 
 
-@query("dedup_simhash", oracle=_SIMHASH_ORACLE, survey="dedup-simhash,D1,H-string,B4")
-def dedup_simhash(spark, sf_dir):
+def _simhash_df(spark, sf_dir):
+    """doc_id (long), simhash (long 16-bit) — shared by signature + pair queries."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("w")
@@ -291,6 +304,82 @@ def dedup_simhash(spark, sf_dir):
         sim = term if sim is None else sim + term
     return agg.select(
         F.col("doc_id").cast("long").alias("doc_id"), sim.cast("long").alias("simhash")
+    )
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, survey="dedup-simhash,D1,H-string,B4")
+def dedup_simhash(spark, sf_dir):
+    return _simhash_df(spark, sf_dir)
+
+
+# =========================================================================
+# SimHash near-dup PAIRS — banded prefilter then exact popcount verify.
+# 16-bit signature → 4 bands of 4 bits; hamming ≤ 2 ⟹ ≥2 bands identical
+# (pigeonhole), so a one-band-match equi-join is a strict superset of the
+# answer: candidates shuffle on (band_id, band_val) — never all-pairs —
+# then bit_count(xor) ≤ 2 verifies exactly.  This is the 100-TB path the
+# signature query's docstring promises (band join ∝ bucket sizes).
+# =========================================================================
+SIMHASH_BANDS = 4  # 4 bits per band over the 16-bit signature
+HAMMING_MAX = 2
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH sims AS (
+{_SIMHASH_ORACLE}
+), bands AS (
+  SELECT doc_id, simhash, t.b AS band_id,
+         (simhash >> (t.b * 4)) & 15 AS band_val
+  FROM sims, LATERAL unnest([0, 1, 2, 3]) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    survey="dedup-simhash,C2,D1,H-misc",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    sims = _simhash_df(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band_id", "e.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
     )
 
 
