@@ -54,6 +54,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect modules once
-    from . import cdc_events, coverage_ext, multimodal, relational, simops, textops  # noqa: F401
+    from . import (  # noqa: F401
+        cdc_events,
+        coverage_ext,
+        intervals,
+        multimodal,
+        relational,
+        simops,
+        textops,
+    )
 
     return REGISTRY
