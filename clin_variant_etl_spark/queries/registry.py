@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
         intervals,
         multimodal,
         relational,
+        scans,
         simops,
         textops,
     )

@@ -1,0 +1,71 @@
+"""Oracle-gated scan queries for the non-parquet sources (SURVEY §2 A2/A3).
+
+Both queries read deterministic control files (generated at import, pure
+function of row index — see ../sources.py) so the DuckDB oracle can scan
+the identical bytes from the same fixed path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import (
+    CSV_PATH,
+    CSV_PINNED_SCHEMA,
+    JSON_PATH,
+    JSON_PINNED_SCHEMA,
+    ensure_control_files,
+    read_csv_options,
+    read_json_pinned,
+)
+from .registry import query
+
+ensure_control_files()
+
+_JSON_ORACLE = f"""
+SELECT rec_id, name, grp,
+       meta.score AS score, meta.tag AS tag,
+       CAST(NULL AS VARCHAR) AS missing_col
+FROM read_json('{JSON_PATH}', format='newline_delimited',
+               columns={{rec_id: 'BIGINT', name: 'VARCHAR', grp: 'BIGINT',
+                        meta: 'STRUCT(score BIGINT, tag VARCHAR)'}})
+WHERE grp <> 3
+"""
+
+
+@query("scan_json_pinned", oracle=_JSON_ORACLE, survey="A2,B1,B2")
+def scan_json_pinned(spark, sf_dir):
+    """Pinned-schema JSON scan: schema declared in code (incl. a column the
+    file doesn't carry -> null), nested struct projection, filter."""
+    ensure_control_files()
+    df = read_json_pinned(spark, JSON_PATH, JSON_PINNED_SCHEMA)
+    return df.where(F.col("grp") != 3).select(
+        "rec_id",
+        "name",
+        "grp",
+        F.col("meta.score").alias("score"),
+        F.col("meta.tag").alias("tag"),
+        "missing_col",
+    )
+
+
+_CSV_ORACLE = f"""
+SELECT id, label,
+       CAST(round(amount * 100) AS BIGINT) AS amount_cents
+FROM read_csv('{CSV_PATH}', delim='|', header=true,
+              columns={{id: 'BIGINT', label: 'VARCHAR', amount: 'DOUBLE'}})
+WHERE id % 2 = 0
+"""
+
+
+@query("scan_csv_options", oracle=_CSV_ORACLE, survey="A3,B7,H-math")
+def scan_csv_options(spark, sf_dir):
+    """CSV scan with reader options (pipe separator + header) and a pinned
+    schema; money rendered as exact integer cents."""
+    ensure_control_files()
+    df = read_csv_options(spark, CSV_PATH, CSV_PINNED_SCHEMA, sep="|", header=True)
+    return df.where(F.col("id") % 2 == 0).select(
+        "id",
+        "label",
+        F.round(F.col("amount") * 100).cast("long").alias("amount_cents"),
+    )
