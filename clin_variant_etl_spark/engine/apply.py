@@ -100,15 +100,18 @@ class CdcPipeline:
         checkpoint_path: str | None = None,
         key_col: str = "doc_id",
         n_salts: int = 8,
-        collect_part_stats: bool = True,
+        collect_part_stats: bool = False,
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
         self.key_col = key_col
         self.n_salts = n_salts
-        # per-source-partition offset lineage costs one extra (narrow) scan
-        # per epoch; summary-only mode derives global offsets for free from
-        # an `observe` on the dedup pass (used by latency-critical callers)
+        # Default (False): global offset range + count ride the `observe` on
+        # the dedup pass — ZERO extra scans; lineage gets one summary row.
+        # True adds per-source-partition offset rows at the cost of one extra
+        # scan + shuffle + driver collect of the event batch per epoch — at
+        # 10^8-event production epochs that is a double-read of the source,
+        # so it is opt-in for debugging/audit runs only.
         self.collect_part_stats = collect_part_stats
         self.lineage = self._side_table(lineage_path, LINEAGE_SCHEMA)
         self.checkpoint = self._side_table(checkpoint_path, EPOCH_CHECKPOINT_SCHEMA)
@@ -280,10 +283,15 @@ class CdcPipeline:
             # global source stats observed for free during the dedup job.
             # An EMPTY micro-batch (foreachBatch can deliver one) optimizes
             # to a local relation whose CollectMetrics never materializes —
-            # Observation.get then fails JVM-side; treat as zero events.
+            # Observation.get then fails JVM-side.  Only that case is
+            # swallowed: a non-empty batch (affected buckets exist) with
+            # missing metrics is a real failure and must surface, otherwise
+            # events_in=0 corrupts the dropped-duplicate arithmetic below.
             try:
                 ev_stats = obs_ev.get
             except Exception:
+                if affected:
+                    raise
                 ev_stats = {"min_lsn": None, "max_lsn": None, "n": 0}
             events_in = ev_stats["n"]
             if not part_rows:

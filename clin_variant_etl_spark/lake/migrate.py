@@ -120,22 +120,18 @@ def _next_schema_id(table: LakeTable) -> int:
 
 def update_partitioning(spark: SparkSession, table: LakeTable, new_spec) -> Snapshot:
     """Rewrite the table under a new partition spec (reference:
-    etl/script/UpdatePartitioning.scala:14-52).  One overwrite commit; the
-    snapshot carries the new spec for all future reads/writes."""
-    df = table.read(spark)
+    etl/script/UpdatePartitioning.scala:14-52).  One overwrite commit through
+    the same ``commit()`` path as every data writer: the ``expected_parent``
+    guard rejects the rewrite if a concurrent writer committed between the
+    snapshot read and the commit (instead of silently clobbering them), and
+    the new snapshot gets a fresh timestamp so time travel stays coherent."""
     snap = table.current_snapshot()
+    df = table.read(spark, snapshot_id=snap.snapshot_id)
     files = table.write_data_files(df, snap.schema_id, new_spec)
-    parent = table.current_snapshot()
-    new_snap = Snapshot(
-        snapshot_id=parent.snapshot_id + 1,
-        parent_id=parent.snapshot_id,
-        operation="update_partitioning",
-        timestamp_ms=snap.timestamp_ms,
-        schema_id=parent.schema_id,
-        schemas=dict(parent.schemas),
-        partition_spec=list(new_spec),
-        files=files,
-        properties=dict(parent.properties),
+    return table.commit(
+        "update_partitioning",
+        files,
+        replace_all=True,
+        expected_parent=snap.snapshot_id,
+        new_spec=list(new_spec),
     )
-    table._write_snapshot(new_snap)
-    return new_snap

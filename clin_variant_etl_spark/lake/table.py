@@ -264,13 +264,19 @@ class LakeTable:
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
-    def append_rows_local(self, rows: list[tuple], schema: T.StructType) -> list[dict]:
+    def append_rows_local(
+        self, rows: list[tuple], schema: T.StructType, schema_id: int | None = None
+    ) -> list[dict]:
         """Write a tiny driver-local row batch as one data file — NO Spark job.
 
         Sidecar tables (lineage, checkpoint) receive a handful of rows per
         epoch; writing them through a Spark write job costs 1-2 s of job
         overhead each.  A driver-side pyarrow write is microseconds and the
         manifest/commit path is identical.
+
+        ``schema_id`` defaults to the table's CURRENT schema id; ``schema``
+        must match that schema's shape (flat primitive sidecar schemas only —
+        unsupported Spark types fail loudly rather than silently miswriting).
         """
         import pyarrow as pa
 
@@ -282,10 +288,19 @@ class LakeTable:
             "boolean": pa.bool_(),
             "timestamp": pa.timestamp("us", tz="UTC"),
         }
+        if schema_id is None:
+            schema_id = self.current_snapshot().schema_id
         arrays, names = [], []
         for i, f in enumerate(schema.fields):
+            simple = f.dataType.simpleString()
+            if simple not in _PA:
+                raise TypeError(
+                    f"append_rows_local: unsupported type {simple!r} for column "
+                    f"{f.name!r} — only flat primitive sidecar schemas are supported; "
+                    f"use write_data_files for general tables"
+                )
             names.append(f.name)
-            arrays.append(pa.array([r[i] for r in rows], type=_PA[f.dataType.simpleString()]))
+            arrays.append(pa.array([r[i] for r in rows], type=_PA[simple]))
         tbl = pa.table(dict(zip(names, arrays)))
         dst_name = f"local-{uuid.uuid4().hex}.parquet"
         pq.write_table(tbl, os.path.join(self.data_dir, dst_name))
@@ -293,7 +308,7 @@ class LakeTable:
             {
                 "path": os.path.join("data", dst_name),
                 "partition": {},
-                "schema_id": 0,
+                "schema_id": schema_id,
                 "rows": len(rows),
             }
         ]
@@ -307,6 +322,7 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         properties: dict[str, str] | None = None,
         expected_parent: int | None = None,
+        new_spec: list[PartitionField] | None = None,
     ) -> Snapshot:
         """Commit a new snapshot.
 
@@ -314,10 +330,14 @@ class LakeTable:
         - replace_partitions: drop parent files whose partition tuple is in
           the list (OverWritePartition / merge-by-bucket semantics)
         - otherwise: append
+        - new_spec: adopt a new partition spec (requires replace_all — old
+          files' partition tuples are meaningless under the new spec)
         """
         parent = self.current_snapshot()
         if expected_parent is not None and parent.snapshot_id != expected_parent:
             raise CommitConflict(f"parent moved: {parent.snapshot_id} != {expected_parent}")
+        if new_spec is not None and not replace_all:
+            raise ValueError("new_spec requires replace_all=True (full rewrite)")
 
         if replace_all:
             kept = []
@@ -342,7 +362,7 @@ class LakeTable:
             timestamp_ms=int(time.time() * 1000),
             schema_id=schema_id,
             schemas=schemas,
-            partition_spec=parent.partition_spec,
+            partition_spec=list(new_spec) if new_spec is not None else parent.partition_spec,
             files=kept + new_files,
             properties=props,
         )

@@ -13,8 +13,10 @@ Deploy (north_rule): ``spark-submit --py-files clin_variant_etl_spark.zip
     ... --mode tail --trigger-seconds 30
 
 The streaming checkpoint dir pairs 1:1 with the target table (see
-streaming/stream.py); replaying with a fresh checkpoint is safe — the
-table-side epoch gate turns already-applied batches into no-ops.
+streaming/stream.py): resume MUST reuse the checkpoint dir.  A fresh
+checkpoint against an advanced table re-batches from id 0 and a mixed
+old+new batch can be gate-skipped while its files are marked consumed —
+silent loss; StreamingCdc refuses to start in that state.
 
 On a cluster, pass ``--master`` via spark-submit as usual; every knob here
 is cluster-size independent (SURVEY.md §7 design).
@@ -75,14 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"drained; table now has {state.count()} visible rows "
               f"(snapshot {pipe.table.current_snapshot().snapshot_id})")
     else:
-        q = (
-            stream._reader()
-            .writeStream.foreachBatch(lambda df, eid: pipe.apply_epoch(df, eid))
-            .option("checkpointLocation", args.stream_checkpoint)
-            .trigger(processingTime=f"{args.trigger_seconds} seconds")
-            .start()
-        )
-        q.awaitTermination()
+        stream.run_tail(trigger_seconds=args.trigger_seconds)
     return 0
 
 

@@ -14,9 +14,13 @@ retries.  Together: a batch is applied exactly once even if the process dies
 between the table commit and the streaming-checkpoint advance.
 
 Pairing rule: one streaming checkpoint dir ↔ one target table.  Restarting
-with a *fresh* checkpoint against an already-populated table would replay
-batch ids from 0 and the gate would (correctly) skip them — resume must reuse
-the checkpoint, which is exactly Structured Streaming's contract.
+with a *fresh* checkpoint against an already-populated table is UNSAFE, not
+merely wasteful: batch ids restart at 0 and files re-batch, so a batch that
+mixes already-applied and NEW events can receive an id <= last_epoch_id, be
+skipped whole by the epoch gate while the stream checkpoint marks its files
+consumed — silent event loss.  Resume must reuse the checkpoint dir (which
+is exactly Structured Streaming's contract); ``_guard_checkpoint_pairing``
+refuses to start in the torn state so the mistake fails loudly.
 
 On a real cluster the same code tails Kafka or a binlog connector — only the
 ``readStream`` source line changes; ordering is not required by the apply
@@ -58,17 +62,47 @@ class StreamingCdc:
             r = r.option("maxFilesPerTrigger", self.max_files_per_trigger)
         return r.parquet(self.events_dir)
 
-    def run_available(self) -> None:
-        """Process everything currently in the log, then stop (availableNow).
+    def _guard_checkpoint_pairing(self) -> None:
+        """Refuse a fresh checkpoint against an already-advanced table (see
+        module docstring: the torn pairing can silently lose events)."""
+        import os
 
-        Used for batch-drain runs and tests; a production tail would use
-        ``trigger(processingTime=...)`` with the same foreachBatch.
-        """
-        q = (
+        has_ckpt = os.path.isdir(os.path.join(self.checkpoint_dir, "offsets"))
+        if not has_ckpt and self.pipeline.last_epoch_id() >= 0:
+            raise RuntimeError(
+                f"streaming checkpoint {self.checkpoint_dir!r} is empty but the "
+                f"target table has last_epoch_id="
+                f"{self.pipeline.last_epoch_id()} — starting fresh would re-batch "
+                "from id 0 and the epoch gate could skip batches containing NEW "
+                "events (silent loss). Reuse the original checkpoint dir, or "
+                "replay into a fresh table."
+            )
+
+    def _start(self, trigger_kwargs: dict):
+        self._guard_checkpoint_pairing()
+        return (
             self._reader()
             .writeStream.foreachBatch(lambda df, epoch_id: self.pipeline.apply_epoch(df, epoch_id))
             .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
+            .trigger(**trigger_kwargs)
             .start()
         )
+
+    def run_available(self) -> None:
+        """Process everything currently in the log, then stop (availableNow).
+
+        Used for batch-drain runs and tests; production tails use
+        ``run_tail``.
+        """
+        q = self._start({"availableNow": True})
         q.awaitTermination()
+
+    def run_tail(self, trigger_seconds: int = 30, await_termination: bool = True):
+        """Continuous tail: apply new event files every ``trigger_seconds``.
+
+        Returns the StreamingQuery (after blocking, if ``await_termination``).
+        """
+        q = self._start({"processingTime": f"{trigger_seconds} seconds"})
+        if await_termination:
+            q.awaitTermination()
+        return q

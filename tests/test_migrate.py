@@ -90,3 +90,29 @@ def test_update_partitioning_rewrite(spark, tmp_path):
     # pruned read still works under the new layout
     buckets = {f["partition"]["bucket"] for f in t.current_snapshot().files}
     assert buckets  # files carry bucket partition values now
+
+
+def test_update_partitioning_conflict_safety(spark, tmp_path):
+    """A concurrent commit between the spec-change's snapshot read and its
+    commit must raise CommitConflict, not silently clobber the other writer."""
+    import pytest
+
+    from clin_variant_etl_spark.lake.table import CommitConflict, LakeTable as LT
+
+    t = _mk(spark, tmp_path / "m_conflict")
+    new_spec = [PartitionField("b", "doc_id", "bucket", 4)]
+    snap = t.current_snapshot()
+    df = t.read(spark, snapshot_id=snap.snapshot_id)
+    files = t.write_data_files(df, snap.schema_id, new_spec)
+    # concurrent writer lands first
+    other = LT(t.path)
+    other.commit("append", other.write_data_files(df.limit(1), snap.schema_id, []))
+    with pytest.raises(CommitConflict):
+        t.commit("update_partitioning", files, replace_all=True,
+                 expected_parent=snap.snapshot_id, new_spec=new_spec)
+    # and the happy path (fresh read) adopts the new spec with a fresh timestamp
+    before_ts = t.current_snapshot().timestamp_ms
+    s = update_partitioning(spark, t, new_spec)
+    assert [p.name for p in s.partition_spec] == ["b"]
+    assert s.timestamp_ms >= before_ts
+    assert t.read(spark).count() == 3

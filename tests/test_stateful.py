@@ -99,3 +99,55 @@ def test_stateful_dedup_resume_from_checkpoint(spark, tmp_path):
         (r["doc_id"], r["lsn"]) for r in spark.read.schema(EV_SCHEMA).parquet(out).collect()
     }
     assert rows == {("k", 7), ("k", 8)}
+
+
+def test_stateful_dedup_state_ttl_expiry(spark, tmp_path):
+    """With ttl_ms set on a CONTINUOUS tail, an idle key's watermark cell is
+    expired; a later event for that key is re-emitted (state lost) — the
+    documented contract: the TABLE-side LSN guard, not the stream state, is
+    the invariant.  (availableNow drains must not set ttl_ms — Spark keeps
+    scheduling no-data batches for future timers and never terminates.)"""
+    import time
+    from functools import partial
+
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def rows_now():
+        try:
+            return {
+                (r["doc_id"], r["lsn"])
+                for r in spark.read.schema(EV_SCHEMA).parquet(out).collect()
+            }
+        except Exception:
+            return set()
+
+    def wait_for(want, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if want <= rows_now():
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"timed out waiting for {want}; have {rows_now()}")
+
+    _write_batch(src, "b1.parquet", [(7, "k", "v7")])
+    q = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .transform(partial(dedup_stream, ttl_ms=500))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        wait_for({("k", 7)})
+        time.sleep(1.2)  # k's TTL deadline passes; a no-data batch expires it
+        # stale event for k is re-emitted because the watermark cell is gone
+        _write_batch(src, "b2.parquet", [(6, "k", "v6")])
+        wait_for({("k", 7), ("k", 6)})
+    finally:
+        q.stop()
+    assert rows_now() == {("k", 7), ("k", 6)}

@@ -83,3 +83,26 @@ def test_foreachbatch_retry_is_noop(spark, tmp_path, pipeline):
     res = pipeline.apply_epoch(ev0, 0)  # the retry
     assert res.skipped
     assert pipeline.table.current_snapshot().snapshot_id == before
+
+
+def test_fresh_checkpoint_against_advanced_table_refused(spark, tmp_path, pipeline):
+    """Torn pairing (empty stream checkpoint + advanced epoch gate) can lose
+    events silently — the stream must refuse to start."""
+    cfg = EventGenConfig(n_docs=50, n_events=600, n_epochs=2, seed=61)
+    tbl = generate_change_events(cfg)
+    write_events_by_epoch(tbl, str(tmp_path / "events"))
+    s = _stream(spark, pipeline, tmp_path)
+    s.run_available()
+    assert pipeline.last_epoch_id() >= 0
+    # same table, FRESH checkpoint dir -> refused
+    torn = StreamingCdc(
+        spark,
+        pipeline,
+        str(tmp_path / "events"),
+        CHANGE_EVENTS_SCHEMA,
+        str(tmp_path / "fresh_ckpt"),
+    )
+    with pytest.raises(RuntimeError, match="last_epoch_id"):
+        torn.run_available()
+    # reusing the original checkpoint still works (no-op drain)
+    s.run_available()
