@@ -49,20 +49,29 @@ def compact(
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
-    """Delete old snapshot manifests and garbage-collect unreferenced data files."""
+    """Delete old snapshot manifests (and their now-unreferenced manifest
+    shards) and garbage-collect unreferenced data files."""
     ids = table.snapshot_ids()
     if len(ids) <= keep_last:
         return []
     expired, kept = ids[:-keep_last], ids[-keep_last:]
     referenced: set[str] = set()
+    kept_shards: set[str] = set()
     for sid in kept:
-        for f in table.snapshot(sid).files:
+        s = table.snapshot(sid)
+        for f in s.files:
             referenced.add(f["path"])
+        for m in s.manifests:
+            kept_shards.add(m["path"])
     candidates: set[str] = set()
+    old_shards: set[str] = set()
     for sid in expired:
-        for f in table.snapshot(sid).files:
+        s = table.snapshot(sid)
+        for f in s.files:
             candidates.add(f["path"])
-    for rel in candidates - referenced:
+        for m in s.manifests:
+            old_shards.add(m["path"])
+    for rel in (candidates - referenced) | (old_shards - kept_shards):
         p = os.path.join(table.path, rel)
         if os.path.exists(p):
             os.unlink(p)

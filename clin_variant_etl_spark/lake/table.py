@@ -19,11 +19,16 @@ isolation / time travel, compaction — implemented as:
   rewrites history (reference analogue: delta schema.autoMerge,
   etl/conf/EtlConfiguration.scala:53).
 
-Scale notes (100 TB): the manifest is O(files); at production scale the file
-list per snapshot would be sharded into avro/parquet manifest files exactly as
-Iceberg does — the JSON here is the same structure with a single shard. All
-data-path work (write, read, align, prune) is executor-side Spark; the driver
-only touches the manifest.
+Scale notes (100 TB): manifests are SHARDED per partition tuple (Iceberg's
+manifest-file structure, JSON instead of avro): the snapshot JSON holds only
+shard *references*; each shard is an immutable file-list for one partition
+value.  A merge commit therefore writes O(changed buckets) shards and reuses
+every untouched shard by reference — the driver-side serial term per commit
+is proportional to the delta, not the table.  Immutable shards and snapshots
+are memoized in-process, so repeated snapshot reads (one per epoch across
+data + sidecar tables) parse only what changed.  All data-path work (write,
+read, align, prune) is executor-side Spark; the driver only touches
+manifests.
 """
 
 from __future__ import annotations
@@ -73,6 +78,20 @@ class PartitionField:
         return PartitionField(d["name"], d["source_col"], d["transform"], d.get("n", 0))
 
 
+# immutable-content caches: shard path -> file entries; (table, sid) -> Snapshot
+_SHARD_CACHE: dict[str, list[dict]] = {}
+_SNAP_CACHE: dict[tuple[str, int], "Snapshot"] = {}
+
+
+def _load_shard(abs_path: str) -> list[dict]:
+    got = _SHARD_CACHE.get(abs_path)
+    if got is None:
+        with open(abs_path) as fh:
+            got = json.load(fh)
+        _SHARD_CACHE[abs_path] = got
+    return got
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -82,15 +101,30 @@ class Snapshot:
     schema_id: int
     schemas: dict[int, T.StructType]
     partition_spec: list[PartitionField]
-    files: list[dict]  # {"path", "partition": {name: str}, "schema_id", "rows"}
+    # shard refs: {"path": "_meta/manifests/m-*.json", "partition": {name: str},
+    #              "n_files": int}; file entries live inside the shards
+    manifests: list[dict] = field(default_factory=list)
     properties: dict[str, str] = field(default_factory=dict)
+    # legacy single-manifest snapshots carry the file list inline
+    inline_files: list[dict] | None = None
+    root: str | None = None  # table path, for resolving shard refs
 
     @property
     def schema(self) -> T.StructType:
         return self.schemas[self.schema_id]
 
+    @property
+    def files(self) -> list[dict]:
+        """Full file list (concatenated from shards; memoized per shard)."""
+        if self.inline_files is not None:
+            return self.inline_files
+        out: list[dict] = []
+        for m in self.manifests:
+            out.extend(_load_shard(os.path.join(self.root, m["path"])))
+        return out
+
     def to_json(self) -> dict:
-        return {
+        d = {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "operation": self.operation,
@@ -98,12 +132,15 @@ class Snapshot:
             "schema_id": self.schema_id,
             "schemas": {str(k): v.jsonValue() for k, v in self.schemas.items()},
             "partition_spec": [p.to_json() for p in self.partition_spec],
-            "files": self.files,
+            "manifests": self.manifests,
             "properties": self.properties,
         }
+        if self.inline_files is not None:
+            d["files"] = self.inline_files
+        return d
 
     @staticmethod
-    def from_json(d: dict) -> "Snapshot":
+    def from_json(d: dict, root: str | None = None) -> "Snapshot":
         return Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d.get("parent_id"),
@@ -112,8 +149,10 @@ class Snapshot:
             schema_id=d["schema_id"],
             schemas={int(k): T.StructType.fromJson(v) for k, v in d["schemas"].items()},
             partition_spec=[PartitionField.from_json(p) for p in d.get("partition_spec", [])],
-            files=d["files"],
+            manifests=d.get("manifests", []),
             properties=d.get("properties", {}),
+            inline_files=d.get("files"),
+            root=root,
         )
 
 
@@ -127,6 +166,7 @@ class LakeTable:
     def __init__(self, path: str):
         self.path = path
         self.meta_dir = os.path.join(path, "_meta", "snapshots")
+        self.manifest_dir = os.path.join(path, "_meta", "manifests")
         self.data_dir = os.path.join(path, "data")
 
     # ------------------------------------------------------------------ meta
@@ -139,7 +179,11 @@ class LakeTable:
     ) -> "LakeTable":
         t = LakeTable(path)
         os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
+        # a re-created path must not serve another incarnation's cache
+        for k in [k for k in _SNAP_CACHE if k[0] == path]:
+            del _SNAP_CACHE[k]
         snap = Snapshot(
             snapshot_id=1,
             parent_id=None,
@@ -148,8 +192,9 @@ class LakeTable:
             schema_id=0,
             schemas={0: schema},
             partition_spec=partition_spec or [],
-            files=[],
+            manifests=[],
             properties=properties or {},
+            root=path,
         )
         t._write_snapshot(snap)
         return t
@@ -175,8 +220,13 @@ class LakeTable:
         return self.snapshot(ids[-1])
 
     def snapshot(self, sid: int) -> Snapshot:
-        with open(_snap_path(self.meta_dir, sid)) as fh:
-            return Snapshot.from_json(json.load(fh))
+        key = (self.path, sid)
+        got = _SNAP_CACHE.get(key)
+        if got is None:
+            with open(_snap_path(self.meta_dir, sid)) as fh:
+                got = Snapshot.from_json(json.load(fh), root=self.path)
+            _SNAP_CACHE[key] = got
+        return got
 
     @property
     def schema(self) -> T.StructType:
@@ -203,6 +253,7 @@ class LakeTable:
             raise CommitConflict(f"snapshot {snap.snapshot_id} already committed") from e
         finally:
             os.unlink(tmp)
+        _SNAP_CACHE[(self.path, snap.snapshot_id)] = snap
 
     # ------------------------------------------------------------------ write
     def _partition_exprs(self, spec: list[PartitionField]) -> list[F.Column]:
@@ -339,13 +390,21 @@ class LakeTable:
         if new_spec is not None and not replace_all:
             raise ValueError("new_spec requires replace_all=True (full rewrite)")
 
+        def key_of(p: dict) -> tuple:
+            return tuple(sorted(p.items()))
+
+        # legacy inline snapshots are sharded once on their first new commit
+        parent_refs = parent.manifests
+        if parent.inline_files is not None:
+            parent_refs = self._write_shards(parent.inline_files)
+
         if replace_all:
-            kept = []
+            kept_refs: list[dict] = []
         elif replace_partitions:
-            drop = {tuple(sorted(p.items())) for p in replace_partitions}
-            kept = [f for f in parent.files if tuple(sorted(f["partition"].items())) not in drop]
+            drop = {key_of(p) for p in replace_partitions}
+            kept_refs = [m for m in parent_refs if key_of(m["partition"]) not in drop]
         else:
-            kept = list(parent.files)
+            kept_refs = list(parent_refs)
 
         schemas = dict(parent.schemas)
         schema_id = parent.schema_id
@@ -363,11 +422,34 @@ class LakeTable:
             schema_id=schema_id,
             schemas=schemas,
             partition_spec=list(new_spec) if new_spec is not None else parent.partition_spec,
-            files=kept + new_files,
+            manifests=kept_refs + self._write_shards(new_files),
             properties=props,
+            root=self.path,
         )
         self._write_snapshot(snap)
         return snap
+
+    def _write_shards(self, files: list[dict]) -> list[dict]:
+        """Write file entries as immutable manifest shards, one per partition
+        tuple; returns the shard refs.  Untouched shards from the parent are
+        reused by reference, so a merge commit's driver-side work is
+        O(changed buckets), not O(table files)."""
+        if not files:
+            return []
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        groups: dict[tuple, list[dict]] = {}
+        for f in files:
+            groups.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
+        refs = []
+        for key, fs in sorted(groups.items()):
+            rel = os.path.join("_meta", "manifests", f"m-{uuid.uuid4().hex}.json")
+            absf = os.path.join(self.path, rel)
+            with open(absf + ".tmp", "w") as fh:
+                json.dump(fs, fh)
+            os.replace(absf + ".tmp", absf)
+            _SHARD_CACHE[absf] = fs
+            refs.append({"path": rel, "partition": dict(key), "n_files": len(fs)})
+        return refs
 
     # ------------------------------------------------------------------ read
     def read(
@@ -383,13 +465,23 @@ class LakeTable:
         (missing → null, widen → cast) — in-place evolution without rewrite.
         """
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
-        files = snap.files
-        if partition_filter:
-            files = [
-                f
-                for f in files
-                if all(f["partition"].get(k) in v for k, v in partition_filter.items())
+        if partition_filter and snap.inline_files is None:
+            # manifest-side pruning: only shards of selected partitions are
+            # even opened — driver work ∝ selected buckets, not table files
+            refs = [
+                m
+                for m in snap.manifests
+                if all(m["partition"].get(k) in v for k, v in partition_filter.items())
             ]
+            files = [f for m in refs for f in _load_shard(os.path.join(self.path, m["path"]))]
+        else:
+            files = snap.files
+            if partition_filter:
+                files = [
+                    f
+                    for f in files
+                    if all(f["partition"].get(k) in v for k, v in partition_filter.items())
+                ]
         if not files:
             return spark.createDataFrame([], snap.schema)
 

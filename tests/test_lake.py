@@ -164,3 +164,25 @@ def test_compact_and_expire(spark, tmp_path):
     live = {os.path.join(t.path, f["path"]) for f in t.current_snapshot().files}
     on_disk = {os.path.join(t.data_dir, p) for p in os.listdir(t.data_dir)}
     assert on_disk == live  # orphans garbage-collected
+
+
+def test_manifest_shards_reused_across_commits(spark, tmp_path):
+    """A merge commit must rewrite only the shards of touched partitions and
+    reuse every other shard BY REFERENCE (O(changed buckets) driver work)."""
+    t = _mk(spark, tmp_path / "t_shards")
+    before = {m["path"]: m for m in t.current_snapshot().manifests}
+    assert before, "expected sharded manifests"
+    # overwrite exactly one bucket
+    b = sorted({m["partition"]["bucket"] for m in t.current_snapshot().manifests})[0]
+    df = t.read(spark, partition_filter={"bucket": {b}})
+    files = t.write_data_files(df, 0, t.partition_spec)
+    t.commit("merge", files, replace_partitions=[{"bucket": b}])
+    after = {m["path"]: m for m in t.current_snapshot().manifests}
+    untouched_before = {p for p, m in before.items() if m["partition"]["bucket"] != b}
+    untouched_after = {p for p, m in after.items() if m["partition"]["bucket"] != b}
+    # identical shard files for untouched buckets; a fresh shard for bucket b
+    assert untouched_before == untouched_after
+    assert all(m["partition"]["bucket"] == b for p, m in after.items() if p not in before)
+    # table content unchanged
+    got = {r["doc_id"]: r["n_tok"] for r in t.read(spark).collect()}
+    assert got == {"d1": 10, "d2": 20, "d3": 30}
