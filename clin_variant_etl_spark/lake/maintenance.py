@@ -21,8 +21,18 @@ def compact(
     deleted_col: str = "_deleted",
     lsn_col: str = "_last_lsn",
     lsn_horizon: int | None = None,
+    target_file_bytes: int | None = None,
+    min_input_files: int = 2,
+    partitions: list[str] | None = None,
 ) -> Snapshot:
-    """Rewrite the table into one file per partition (small-files compaction).
+    """Small-files compaction with bin-packing and per-partition selection.
+
+    Selection (reference compacts per chromosome, not whole tables —
+    etl/normalized/Consequences.scala:135-138): only partitions with
+    >= ``min_input_files`` data files (or those named in ``partitions``)
+    are rewritten; everything else keeps its manifest shard by reference.
+    ``target_file_bytes`` packs each rewritten partition into
+    ceil(bytes/target) output files instead of exactly one.
 
     ``drop_tombstones`` physically removes delete markers.  A tombstone at
     lsn L guards against late updates with lsn < L (SURVEY.md §7.4 hard part
@@ -32,19 +42,68 @@ def compact(
     mark): only tombstones BELOW the horizon are dropped; newer tombstones
     are kept so the LSN guard stays intact.  ``lsn_horizon=None`` with
     ``drop_tombstones=True`` drops them all (caller asserts the stream is
-    fully drained forever).
+    fully drained forever).  Tombstone dropping changes row content, so it
+    forces a FULL rewrite (every partition may hold tombstones).
     """
     from pyspark.sql import functions as F
 
     snap = table.current_snapshot()
-    df = table.read(spark)
+    spec = snap.partition_spec
+    selective = (
+        not drop_tombstones and len(spec) == 1 and snap.inline_files is None
+    )
+
+    pfilter = None
+    replace = None
+    by_part: dict[str, list[dict]] = {}
+    if selective:
+        for f in snap.files:
+            by_part.setdefault(f["partition"][spec[0].name], []).append(f)
+        if partitions is not None:
+            selected = [p for p in partitions if p in by_part]
+        else:
+            selected = [p for p, fs in by_part.items() if len(fs) >= min_input_files]
+        if not selected:
+            return snap
+        pfilter = {spec[0].name: set(selected)}
+        replace = [{spec[0].name: p} for p in selected]
+
+    df = table.read(spark, partition_filter=pfilter)
     if drop_tombstones and deleted_col in df.columns:
         dead = F.coalesce(df[deleted_col], F.lit(False))
         if lsn_horizon is not None and lsn_col in df.columns:
             df = df.where(~(dead & (df[lsn_col] < lsn_horizon)))
         else:
             df = df.where(~dead)
-    files = table.write_data_files(df, snap.schema_id, snap.partition_spec)
+
+    split = None
+    if target_file_bytes:
+        # per-partition output-file count from current on-disk bytes; the
+        # split value spreads rows round-robin-by-hash across k files
+        def _bytes(fs: list[dict]) -> int:
+            return sum(
+                os.path.getsize(os.path.join(table.path, f["path"]))
+                for f in fs
+                if os.path.exists(os.path.join(table.path, f["path"]))
+            )
+
+        if selective:
+            k_of = {
+                p: max(1, -(-_bytes(by_part[p]) // target_file_bytes)) for p in pfilter[spec[0].name]
+            }
+            pexpr = spec[0].expr()
+            kmap = F.create_map(
+                *[x for p, k in sorted(k_of.items()) for x in (F.lit(p), F.lit(k))]
+            )
+            split = F.pmod(F.xxhash64(F.monotonically_increasing_id()), kmap[pexpr])
+        else:
+            total = _bytes(snap.files)
+            k = max(1, -(-total // target_file_bytes))
+            split = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(k))
+
+    files = table.write_data_files(df, snap.schema_id, spec, split_expr=split)
+    if selective:
+        return table.commit("compact", files, replace_partitions=replace)
     return table.commit("compact", files, replace_all=True)
 
 

@@ -239,6 +239,49 @@ class LakeTable:
     def properties(self) -> dict[str, str]:
         return self.current_snapshot().properties
 
+    # ------------------------------------------------------------------ refs
+    # Named refs (tags) — the commit-then-publish pattern: writers commit
+    # snapshots continuously; consumers read a named tag that is swapped
+    # atomically only when a snapshot passes QC (reference: ES alias swap,
+    # etl/es/Publish.scala:28-38; Iceberg branch/tag equivalent).
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_meta", "refs.json")
+
+    def refs(self) -> dict[str, int]:
+        try:
+            with open(self._refs_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Point ref ``name`` at a snapshot (default: current) — atomic swap."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot().snapshot_id
+        if sid not in self.snapshot_ids():
+            raise ValueError(f"cannot tag unknown snapshot {sid}")
+        refs = self.refs()
+        refs[name] = sid
+        tmp = self._refs_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._refs_path)
+        return sid
+
+    def publish(self, name: str = "published", snapshot_id: int | None = None) -> int:
+        """Alias-swap publish: consumers reading ``ref=name`` atomically see
+        the newly published snapshot; in-flight readers keep their pinned
+        snapshot (snapshot isolation)."""
+        return self.tag(name, snapshot_id)
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"no ref {name!r} on table {self.path} (have {sorted(refs)})")
+        return refs[name]
+
     def _write_snapshot(self, snap: Snapshot) -> None:
         """Atomic exclusive-create commit: tmp write + fsync + hard link."""
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
@@ -265,17 +308,25 @@ class LakeTable:
         schema_id: int,
         spec: list[PartitionField],
         target_partitions: int | None = None,
+        split_expr: F.Column | None = None,
     ) -> list[dict]:
         """Write df as new immutable data files; return manifest entries.
 
         Partition columns are *duplicated* into ``__p_*`` columns for
         partitionBy, so the originals stay inside the data files (no
         per-file value reattachment at read time).
+
+        ``split_expr`` (int-valued) sub-splits each partition into that many
+        files (compaction's target-file-size packing); the split value is
+        NOT part of the table's partition tuple.
         """
         stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
         pnames = [f"__p_{p.name}" for p in spec]
         out = df.select("*", *self._partition_exprs(spec)) if spec else df
-        if spec:
+        if split_expr is not None:
+            out = out.withColumn("__p__split", split_expr.cast("int").cast("string"))
+            pnames = pnames + ["__p__split"]
+        if pnames:
             # co-locate rows of one partition into one task → one file per
             # partition value (plus AQE coalesce); mirrors the reference's
             # repartition-before-write (EtlConfiguration.scala:47,52)
@@ -292,7 +343,10 @@ class LakeTable:
             if rel != ".":
                 for part in rel.split(os.sep):
                     k, _, v = part.partition("=")
-                    pvals[k.removeprefix("__p_")] = v
+                    k = k.removeprefix("__p_")
+                    if k == "_split":
+                        continue  # file-packing split, not a partition value
+                    pvals[k] = v
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
@@ -457,13 +511,18 @@ class LakeTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         partition_filter: dict[str, set[str]] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Scan the table (optionally time-traveled / partition-pruned).
+        """Scan the table (optionally time-traveled / ref-pinned / partition-pruned).
 
         Files are grouped by the schema-id they were written under; each group
         is read with its own schema and aligned to the *current* schema
         (missing → null, widen → cast) — in-place evolution without rewrite.
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         if partition_filter and snap.inline_files is None:
             # manifest-side pruning: only shards of selected partitions are
