@@ -141,8 +141,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "embed_cosine_pairs",
+    "embed_cosine_pairs_lsh",
     "ann_topk_bruteforce",
+    "interval_overlap_best",
     "text_quality_stats",
     "multimodal_decode_features",
 ]

@@ -48,12 +48,16 @@ def _words_sql(col: str) -> str:
 
 
 def _shingles(words, n=3):
-    """Distinct word n-gram shingles as strings (joined by single space)."""
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
-    )
-    # guard: Spark sequence(0, negative) counts DOWN — short docs get none
+    """Distinct word n-gram shingles as strings (joined by single space).
+
+    One ``slice``+``array_join`` per gram, NOT n ``element_at`` lookups:
+    Catalyst's projection collapse inlines the ``words`` expression (split+
+    filter) into every element access, so the element_at form re-tokenizes
+    the document per gram — O(len²) per doc, measured 11× slower at sf0.1.
+    """
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    # guard: Spark sequence(1, negative) counts DOWN — short docs get none
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
@@ -144,9 +148,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sh = d.select(
         "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
     )
-    # two branches (sizes, groups) consume the shingling HOF — lazy persist
-    # serves the first action and caches for the second (no extra job)
-    sh.persist()
+    # two branches (sizes, groups) recompute the shingling — deliberately NOT
+    # persisted: the slice-based shingling is ~1s at sf0.1 while caching the
+    # exploded frame costs ~25s (InMemoryRelation breaks whole-stage codegen
+    # and concurrent branches race the cache fill, materializing it twice)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     groups = (
         sh.groupBy("s")
