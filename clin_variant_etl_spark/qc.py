@@ -47,6 +47,12 @@ def should_not_contain_null(df: DataFrame, *cols: str) -> DataFrame:
     return df.where(cond)
 
 
+def sample_rows(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Seeded row sampling for expensive per-row QC over huge tables
+    (reference: rand()-based QC sampling, etl/qc/TestingApp.scala:40)."""
+    return df.where(F.rand(seed) < fraction)
+
+
 def should_not_contain_duplicates(df: DataFrame, *keys: str) -> DataFrame:
     """Rows whose key occurs more than once (the non-duplication invariant,
     NonDuplicationSNV.scala:10-16)."""

@@ -35,6 +35,18 @@ def decode_real(payload: bytes) -> dict:
     raise NotImplementedError("media codecs not installed; use the stub decode path")
 
 
+def repartition_for_external_batches(df, rows_per_batch: int = 1000):
+    """Count-derived partitioning (SURVEY §2 F3): size partitions so each
+    external-service call (codec pool, HTTP API) sees ≤ rows_per_batch rows —
+    the reference batches Varsome HTTP calls at 1000 loci/partition
+    (etl/varsome/Varsome.scala:83-88, numPartitions = count/1000 + 1).
+    Costs one count job; only used on frames headed to an external boundary.
+    """
+    n = df.count()
+    n_parts = max(1, -(-n // rows_per_batch))
+    return df.repartition(n_parts)
+
+
 @query(
     "multimodal_decode_features",
     oracle="""
@@ -54,6 +66,8 @@ def multimodal_decode_features(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+    # codec-pool batch sizing, the reference's HTTP-batch pattern (F3/A10)
+    media = repartition_for_external_batches(media, rows_per_batch=1000)
 
     # the decode fn is fully self-contained (defined locally → cloudpickle
     # serializes it by value, so executors never need this repo on sys.path)

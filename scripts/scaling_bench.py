@@ -88,7 +88,7 @@ def run_level(cpus: int, input_dir: str, n_events: int, mode: str) -> dict:
         SPARK_GRAFT_BENCH_MODE=mode,
         SPARK_GRAFT_BENCH_INPUT=input_dir,
         SPARK_GRAFT_BENCH_EVENTS=str(n_events),
-        SPARK_GRAFT_DRIVER_MEM="8g",
+        SPARK_GRAFT_DRIVER_MEM="16g",
         SPARK_GRAFT_BENCH_QUERY_SET=COMPUTE_QUERIES,
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )

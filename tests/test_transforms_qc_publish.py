@@ -177,3 +177,22 @@ def test_qc_catches_duplicates_and_reports_all(spark):
     assert by["clean"].passed
     with pytest.raises(QCError, match="dups"):
         handle_errors(results)
+
+
+def test_qc_sample_rows_seeded(spark):
+    from clin_variant_etl_spark.qc import sample_rows
+
+    df = spark.range(10000)
+    a = sample_rows(df, 0.1).count()
+    b = sample_rows(df, 0.1).count()
+    assert a == b  # seeded -> deterministic
+    assert 500 < a < 1500
+
+
+def test_count_derived_batching(spark):
+    from clin_variant_etl_spark.queries.multimodal import repartition_for_external_batches
+
+    df = spark.range(2500)
+    out = repartition_for_external_batches(df, rows_per_batch=1000)
+    assert out.rdd.getNumPartitions() == 3
+    assert out.count() == 2500
