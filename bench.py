@@ -82,13 +82,18 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
         n_epochs = len([d for d in os.listdir(ev_dir) if d.startswith("epoch=")])
 
         tpath = os.path.join(tmp, "table")
-        create_cdc_table(tpath, BASE_DOCS_SCHEMA, n_buckets=2 * n_cpus)
+        # scaling protocol: table layout must be IDENTICAL at every
+        # parallelism level (a layout that tracks cpu count would measure
+        # layout, not scaling) — pin via env; default keeps the old sizing
+        n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", 2 * n_cpus))
+        n_salts = int(os.environ.get("SPARK_GRAFT_BENCH_SALTS", n_cpus))
+        create_cdc_table(tpath, BASE_DOCS_SCHEMA, n_buckets=n_buckets)
         pipe = CdcPipeline(
             spark,
             tpath,
             lineage_path=os.path.join(tmp, "lineage"),
             checkpoint_path=os.path.join(tmp, "ckpt"),
-            n_salts=n_cpus,
+            n_salts=n_salts,
             # summary-only offset lineage: one fewer Spark job per epoch
             # (global offsets observed for free during the dedup pass)
             collect_part_stats=os.environ.get("SPARK_GRAFT_BENCH_PART_STATS", "0") == "1",
@@ -175,9 +180,8 @@ def main() -> None:
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "3000000"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
 
-    spark = build_session(
-        "bench", master=f"local[{n_cpus}]", shuffle_partitions=max(n_cpus, 8)
-    )
+    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", max(n_cpus, 8)))
+    spark = build_session("bench", master=f"local[{n_cpus}]", shuffle_partitions=shuffle)
     try:
         cdc = bench_cdc(spark, n_events, n_cpus) if mode in ("all", "cdc") else None
         queries = bench_queries(spark, sf_dir) if mode in ("all", "queries") else {}

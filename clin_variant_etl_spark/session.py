@@ -64,6 +64,20 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Map-side parallelism floor: Spark packs small files into
+        # 128MB+4MB-open-cost splits, so a sandbox-scale input (tens of MB)
+        # collapses to 1-2 map tasks NO MATTER THE CORE COUNT — scans,
+        # shingling and map-side partial aggregation then cannot scale with
+        # executors.  At 100 TB the same setting balances split count vs task
+        # overhead; here the env knob lets the bench size splits to ≥ cores.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "4194304"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

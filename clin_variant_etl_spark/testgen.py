@@ -195,7 +195,11 @@ def write_events_by_epoch(tbl: pa.Table, out_dir: str, files_per_epoch: int = 1)
         step = max(1, -(-n // files_per_epoch))
         for i in range(0, n, step):
             p = os.path.join(d, f"part-{i // step:04d}.parquet")
-            pq.write_table(sub.slice(i, step), p)
+            # small row groups keep the files SPLITTABLE: a single-row-group
+            # 16 MB file is one indivisible map split no matter how low
+            # spark.sql.files.maxPartitionBytes is set, capping scan/dedup
+            # map parallelism at the file count
+            pq.write_table(sub.slice(i, step), p, row_group_size=32_000)
             paths.append(p)
     return paths
 

@@ -89,6 +89,14 @@ def run_level(cpus: int, input_dir: str, n_events: int, mode: str) -> dict:
         SPARK_GRAFT_BENCH_INPUT=input_dir,
         SPARK_GRAFT_BENCH_EVENTS=str(n_events),
         SPARK_GRAFT_DRIVER_MEM="16g",
+        # identical JOB at both levels: table layout, salt count, shuffle
+        # width, and split sizing are pinned (a layout that tracked cpu count
+        # would measure layout, not scaling).  Split sizing keeps map-side
+        # parallelism ≥ cores at sandbox input sizes (session.py note).
+        SPARK_GRAFT_BENCH_BUCKETS="32",
+        SPARK_GRAFT_BENCH_SALTS="8",
+        SPARK_GRAFT_BENCH_SHUFFLE="16",
+        SPARK_GRAFT_SPREAD_SMALL_SCANS="1",
         SPARK_GRAFT_BENCH_QUERY_SET=COMPUTE_QUERIES,
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
