@@ -69,7 +69,9 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
         if pre and os.path.isdir(pre):
             ev_dir, gen_s = pre, 0.0
         else:
-            cache = f"/tmp/spark_graft_bench_events_{n_events}_{n_cpus}"
+            # cache key carries the file layout version (rg32 = 32k-row row
+            # groups, splittable) so layout changes invalidate old caches
+            cache = f"/tmp/spark_graft_bench_events_{n_events}_{n_cpus}_rg32"
             done = os.path.join(cache, "_GEN_DONE")
             if os.path.exists(done):
                 ev_dir, gen_s = cache, 0.0
