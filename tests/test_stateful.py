@@ -26,7 +26,16 @@ def _write_batch(d, name, rows):
             "payload": pa.array([r[2] for r in rows]),
         }
     )
-    pq.write_table(tbl, os.path.join(d, name))
+    p = os.path.join(d, name)
+    pq.write_table(tbl, p)
+    # the file stream source orders batches by modification time; writes
+    # landing in the same mtime tick would make batch order racy — force a
+    # strictly increasing mtime from the file name's batch number
+    import time
+
+    seq = int("".join(c for c in name if c.isdigit()) or 0)
+    t = time.time() + seq * 10
+    os.utime(p, (t, t))
 
 
 def _drain(spark, src, ckpt, out_table):
