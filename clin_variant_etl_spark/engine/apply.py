@@ -37,7 +37,7 @@ from ..schemas import (
     merge_schemas,
     same_shape,
 )
-from .dedup import latest_by_key_salted
+from .dedup import latest_by_key_join, latest_by_key_salted
 
 EVENT_META_COLS = ("lsn", "op", "event_ts", "epoch_hint")
 BUCKET_PARTITION = "bucket"
@@ -101,11 +101,20 @@ class CdcPipeline:
         key_col: str = "doc_id",
         n_salts: int = 8,
         collect_part_stats: bool = False,
+        dedup_variant: str = "join",
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
         self.key_col = key_col
         self.n_salts = n_salts
+        # "join" (default): numeric-only winner aggregation + slim payload
+        #   join — all HashAggregate, skew spread over (key, lsn);
+        # "salted": two-phase max_by(struct) — one pass over the payload but
+        #   SortAggregate stages (var-width buffer); kept selectable, both
+        #   variants share the exact lineage-count contract.
+        if dedup_variant not in ("join", "salted"):
+            raise ValueError(f"unknown dedup_variant {dedup_variant!r}")
+        self.dedup_variant = dedup_variant
         # Default (False): global offset range + count ride the `observe` on
         # the dedup pass — ZERO extra scans; lineage gets one summary row.
         # True adds per-source-partition offset rows at the cost of one extra
@@ -243,14 +252,26 @@ class CdcPipeline:
             F.max("lsn").alias("max_lsn"),
             F.count(F.lit(1)).alias("n"),
         )
-        net = latest_by_key_salted(
-            events_observed,
-            self.key_col,
-            "lsn",
-            self.n_salts,
-            count_col="_fold_cnt",
-            distinct_col="_dst_cnt",
-        )
+        if self.dedup_variant == "join":
+            # observation rides the slim aggregate branch only, so it fires
+            # exactly once even though `events` appears twice in the plan
+            net = latest_by_key_join(
+                events,
+                self.key_col,
+                "lsn",
+                count_col="_fold_cnt",
+                distinct_col="_dst_cnt",
+                stats_df=events_observed,
+            )
+        else:
+            net = latest_by_key_salted(
+                events_observed,
+                self.key_col,
+                "lsn",
+                self.n_salts,
+                count_col="_fold_cnt",
+                distinct_col="_dst_cnt",
+            )
         net = _align(
             net,
             list(merged_payload.fields)

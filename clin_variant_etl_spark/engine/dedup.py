@@ -72,6 +72,52 @@ def latest_by_key_salted(
     return phase2.select(*cols)
 
 
+def latest_by_key_join(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    count_col: str | None = None,
+    distinct_col: str | None = None,
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """Winner-lsn join variant: same contract as ``latest_by_key_salted``
+    but the heavy aggregation never touches the payload.
+
+    Why: ``max_by(struct(payload…))`` carries a variable-width buffer, so
+    Catalyst falls back to SortAggregate at every stage — the whole event
+    batch gets sorted twice.  Here the winner is found with NUMERIC-only
+    aggregates (HashAggregate; the single countDistinct rewrites into a
+    (key, lsn) pre-aggregation, so a hot key's rows spread over its distinct
+    lsns — skew-safe without explicit salting), and the payload rides ONE
+    equi-join on (key, lsn) — also spread by lsn, also skew-safe.  The join
+    side scans only the two join columns until the winners match (column
+    pruning), so the extra pass is a slim scan, not a second full decode.
+    Exact duplicates of the winning event survive the join; the final
+    ``dropDuplicates([key])`` is deterministic in content because same
+    (key, lsn) implies an identical redelivered payload.
+
+    ``stats_df``: optionally a different (e.g. ``observe``-instrumented)
+    frame for the aggregate branch, so attached observations fire exactly
+    once even though the input appears twice in the plan.
+    """
+    src = stats_df if stats_df is not None else df
+    w = src.groupBy(key).agg(
+        F.max(order_col).alias("_win"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct(order_col).alias("_dst"),
+    )
+    win = w.select(F.col(key), F.col("_win").alias(order_col), "_cnt", "_dst")
+    out = df.join(win, [key, order_col]).dropDuplicates([key])
+    keep = [c for c in df.columns]
+    if count_col:
+        out = out.withColumn(count_col, F.col("_cnt"))
+        keep.append(count_col)
+    if distinct_col:
+        out = out.withColumn(distinct_col, F.col("_dst"))
+        keep.append(distinct_col)
+    return out.select(*keep)
+
+
 def latest_by_key_pandas(df: DataFrame, key: str, order_col: str) -> DataFrame:
     """applyInPandas variant: per-key groups arrive as Arrow batches; the
     winner is picked with vectorized idxmax (no per-row Python)."""

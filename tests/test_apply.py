@@ -175,3 +175,31 @@ def test_lineage_invariants(spark, tmp_path, pipeline):
     # checkpoint has one row per epoch
     ck = pipeline.checkpoint.read(spark).toPandas()
     assert sorted(ck.epoch_id) == list(range(cfg.n_epochs))
+
+
+def test_dedup_variants_equivalent(spark):
+    """join-based and salted dedup must produce identical winners AND
+    identical lineage counts (incl. exact-duplicate redeliveries)."""
+    from clin_variant_etl_spark.engine.dedup import latest_by_key_join, latest_by_key_salted
+
+    rows = [
+        (1, "I", "a", [1], 1, "w"),
+        (3, "U", "a", [3], 1, "w"),
+        (3, "U", "a", [3], 1, "w"),  # exact dup of winner
+        (2, "U", "a", [2], 1, "w"),
+        (5, "I", "b", [5], 1, "w"),
+        (5, "I", "b", [5], 1, "w"),  # dup
+        (4, "I", "c", [4], 1, "w"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    a = latest_by_key_salted(ev, "doc_id", "lsn", 4, count_col="_c", distinct_col="_d")
+    b = latest_by_key_join(ev, "doc_id", "lsn", count_col="_c", distinct_col="_d")
+    ka = {r["doc_id"]: (r["lsn"], r["tokens"], r["_c"], r["_d"]) for r in a.collect()}
+    kb = {r["doc_id"]: (r["lsn"], r["tokens"], r["_c"], r["_d"]) for r in b.collect()}
+    assert ka == kb == {
+        "a": (3, [3], 4, 3),
+        "b": (5, [5], 2, 1),
+        "c": (4, [4], 1, 1),
+    }
