@@ -186,3 +186,34 @@ def test_manifest_shards_reused_across_commits(spark, tmp_path):
     # table content unchanged
     got = {r["doc_id"]: r["n_tok"] for r in t.read(spark).collect()}
     assert got == {"d1": 10, "d2": 20, "d3": 30}
+
+
+def test_legacy_inline_manifest_snapshot_still_readable(spark, tmp_path):
+    """Pre-sharding snapshots carry the file list inline ("files" key); they
+    must read correctly and get sharded on their first new commit."""
+    import json
+
+    t = _mk(spark, tmp_path / "t_legacy")
+    snap = t.current_snapshot()
+    # rewrite the current snapshot file in the LEGACY inline format
+    legacy = snap.to_json()
+    legacy["files"] = snap.files
+    del legacy["manifests"]
+    p = os.path.join(t.meta_dir, f"v{snap.snapshot_id:08d}.json")
+    with open(p, "w") as fh:
+        json.dump(legacy, fh)
+    # bust the in-process caches so the legacy bytes are actually parsed
+    from clin_variant_etl_spark.lake import table as _tbl
+
+    _tbl._SNAP_CACHE.clear()
+    _tbl._SHARD_CACHE.clear()
+    t2 = LakeTable(str(tmp_path / "t_legacy"))
+    got = {r["doc_id"]: r["n_tok"] for r in t2.read(spark).collect()}
+    assert got == {"d1": 10, "d2": 20, "d3": 30}
+    assert t2.current_snapshot().inline_files is not None
+    # first commit on the legacy table shards the inherited files
+    df = spark.createDataFrame([("d9", [9] * 5, 5, "w")], t2.schema)
+    t2.commit("append", t2.write_data_files(df, 0, t2.partition_spec))
+    s = t2.current_snapshot()
+    assert s.inline_files is None and s.manifests
+    assert t2.read(spark).count() == 4
