@@ -212,7 +212,7 @@ def test_legacy_inline_manifest_snapshot_still_readable(spark, tmp_path):
     assert got == {"d1": 10, "d2": 20, "d3": 30}
     assert t2.current_snapshot().inline_files is not None
     # first commit on the legacy table shards the inherited files
-    df = spark.createDataFrame([("d9", [9] * 5, 5, "w")], t2.schema)
+    df = spark.createDataFrame([("d9", 5, "w")], t2.schema)
     t2.commit("append", t2.write_data_files(df, 0, t2.partition_spec))
     s = t2.current_snapshot()
     assert s.inline_files is None and s.manifests
