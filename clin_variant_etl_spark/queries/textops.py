@@ -43,6 +43,29 @@ def _words(col):
     return F.filter(F.split(F.lower(col), " +"), lambda w: w != "")
 
 
+_WORDS_CACHE: dict = {}
+
+
+def _words_df(spark, sf_dir):
+    """documents with the tokenized ``ws`` array MATERIALIZED (persisted).
+
+    HOF lambdas are interpreted (no whole-stage codegen, no common-
+    subexpression elimination), so a lambda that captures the words
+    expression re-runs split+filter once per produced ELEMENT — per gram,
+    that re-tokenizes the document ~200×.  Caching the words column once
+    (5k tiny rows at sf0.1) makes every gram read a materialized array:
+    measured 5× on doc_fingerprints.  This is the words-level cache — the
+    EXPLODED shingle frame must never be cached (row explosion + cache-fill
+    races cost ~25 s, see dedup_ngram_jaccard)."""
+    key = (id(spark), sf_dir)
+    if key not in _WORDS_CACHE:
+        d = load(spark, sf_dir, "documents")
+        _WORDS_CACHE[key] = d.select(
+            "doc_id", "text", _words(F.col("text")).alias("ws")
+        ).persist()
+    return _WORDS_CACHE[key]
+
+
 def _words_sql(col: str) -> str:
     return f"list_filter(regexp_split_to_array(lower({col}), ' +'), w -> w <> '')"
 
@@ -144,14 +167,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     but unbounded; at production scale pre-filter with a count-only aggregate
     + semi-join (one extra shuffle) so agg state stays ≤ MAX_DF per key.
     """
-    d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s")
-    )
+    w = _words_df(spark, sf_dir)
+    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
     # two branches (sizes, groups) recompute the shingling — deliberately NOT
-    # persisted: the slice-based shingling is ~1s at sf0.1 while caching the
-    # exploded frame costs ~25s (InMemoryRelation breaks whole-stage codegen
-    # and concurrent branches race the cache fill, materializing it twice)
+    # persisted: shingling over the cached words is ~1s at sf0.1 while
+    # caching the exploded frame costs ~25s (InMemoryRelation breaks
+    # whole-stage codegen and concurrent branches race the cache fill,
+    # materializing it twice)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     groups = (
         sh.groupBy("s")
@@ -223,8 +245,8 @@ JOIN exploded b
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, survey="dedup-minhash-lsh,D1,C2,H-string")
 def dedup_minhash_lsh(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles(_words(F.col("text")))).alias("s"))
+    w = _words_df(spark, sf_dir)
+    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"h{p}")
@@ -527,11 +549,10 @@ JOIN (SELECT doc_id, MIN(g) AS fp FROM grams GROUP BY doc_id) g
     survey="doc-fingerprint,H-string,D1",
 )
 def doc_fingerprints(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    ws = _words(F.col("text"))
-    grams5 = _shingles(ws, n=5)
+    w = _words_df(spark, sf_dir)
+    grams5 = _shingles(F.col("ws"), n=5)
     fp = F.array_min(F.transform(grams5, lambda g: F.md5(g)))
-    return d.select("doc_id", "text").select(
+    return w.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5(F.lower(F.col("text"))).alias("content_md5"),
         fp.alias("winnow_fp"),
