@@ -161,7 +161,8 @@ HEADLINE = [
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from clin_variant_etl_spark.queries import all_queries
 
-    reg = all_queries()
+    # suite-only queries (e.g. the labeled all-pairs baseline) stay benchable
+    reg = all_queries(include_suite_only=True)
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERY_SET")
     names = subset.split(",") if subset else HEADLINE
     # best-of-N damps the host's minute-scale throttle windows (identical

@@ -109,6 +109,9 @@ FROM m
 WHERE n_bytes >= 100
 """,
     survey="multimodal-framesample,H-array,B2",
+    # H-array/B2 evidenced by gated siblings (embedding_array_stats,
+    # ann_lsh_buckets, q1); suite-only keeps a driver slot free
+    gate=False,
 )
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: compute per-'video' frame offsets (every 100

@@ -178,6 +178,8 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1
 """,
     survey="C1,D1,B7",
+    # C1 evidenced by gated q3/q5; suite-only keeps a driver slot free
+    gate=False,
 )
 def brand_part_stats(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
@@ -365,6 +367,8 @@ FROM orders
 GROUP BY 1, 2
 """,
     survey="D2,B4,H-date",
+    # D2/H-date evidenced by gated cdc_out_of_order + session_stats_per_user; suite-only
+    gate=False,
 )
 def orders_month_priority(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
@@ -434,6 +438,8 @@ FROM customer
 WHERE c_custkey <= 500
 """,
     survey="H-string,B2,B7",
+    # H-string/B7 evidenced by gated doc_fingerprints + q1; suite-only
+    gate=False,
 )
 def customer_name_parse(spark, sf_dir):
     c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
@@ -477,6 +483,8 @@ FROM (
 GROUP BY 1
 """,
     survey="G1,G2,D1",
+    # G2 retains exact parity in the suite; gated union_parties covers the union family
+    gate=False,
 )
 def union_order_events(spark, sf_dir):
     o = (

@@ -88,6 +88,9 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_dot_fold_sql("a.v", "b.v")} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
 """,
     survey="sim-cosine-dup,C2,H-array,I3",
+    # labeled all-pairs correctness baseline — the gated scale path is
+    # embed_cosine_pairs_lsh; suite-only keeps a driver slot free
+    gate=False,
 )
 def embed_cosine_pairs(spark, sf_dir):
     dot = _dot_pandas_udf()

@@ -64,9 +64,19 @@ def _compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
                 )
 
 
-ALL = all_queries()
+ALL = all_queries(include_suite_only=True)
 WITH_ORACLE = sorted(n for n, s in ALL.items() if s.oracle is not None)
 NO_ORACLE = sorted(n for n, s in ALL.items() if s.oracle is None)
+
+
+def test_driver_gate_is_exactly_cap():
+    """Every driver-gated query gets a CORRECTNESS row: the gated registry
+    must be exactly at (or under) the driver's observed 50-row cap."""
+    from clin_variant_etl_spark.queries.registry import DRIVER_GATE_CAP
+
+    gated = all_queries()
+    assert len(gated) <= DRIVER_GATE_CAP
+    assert all(s.oracle is not None for s in gated.values())
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
