@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .caps import cap_buckets
 from .registry import load, query
 
 N_PERMS = 12
@@ -43,7 +44,29 @@ def _words(col):
     return F.filter(F.split(F.lower(col), " +"), lambda w: w != "")
 
 
+# (applicationId, sf_dir) -> (session object, persisted words frame).  The
+# applicationId is unique per SparkContext (no id()-reuse hazard after GC);
+# the stored session object is revalidated on every hit so a frame bound to
+# a stopped context is evicted and rebuilt, never returned.
 _WORDS_CACHE: dict = {}
+
+
+def _session_alive(sess) -> bool:
+    try:
+        return not sess.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def clear_words_cache() -> None:
+    """Unpersist and drop every cached words frame (library hygiene hook)."""
+    for sess, df in _WORDS_CACHE.values():
+        if _session_alive(sess):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _WORDS_CACHE.clear()
 
 
 def _words_df(spark, sf_dir):
@@ -57,13 +80,20 @@ def _words_df(spark, sf_dir):
     measured 5× on doc_fingerprints.  This is the words-level cache — the
     EXPLODED shingle frame must never be cached (row explosion + cache-fill
     races cost ~25 s, see dedup_ngram_jaccard)."""
-    key = (id(spark), sf_dir)
-    if key not in _WORDS_CACHE:
-        d = load(spark, sf_dir, "documents")
-        _WORDS_CACHE[key] = d.select(
-            "doc_id", "text", _words(F.col("text")).alias("ws")
-        ).persist()
-    return _WORDS_CACHE[key]
+    # sweep entries of stopped contexts — a restarted app gets a new
+    # applicationId, so dead entries would otherwise linger forever
+    for k in [k for k, (s, _) in _WORDS_CACHE.items() if not _session_alive(s)]:
+        del _WORDS_CACHE[k]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _WORDS_CACHE.get(key)
+    if hit is not None:
+        # same applicationId ⇒ same live context (sibling newSession()s
+        # share cached blocks), so the frame is valid
+        return hit[1]
+    d = load(spark, sf_dir, "documents")
+    df = d.select("doc_id", "text", _words(F.col("text")).alias("ws")).persist()
+    _WORDS_CACHE[key] = (spark, df)
+    return df
 
 
 def _words_sql(col: str) -> str:
@@ -163,22 +193,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
     arrays, ≤ MAX_DF²/2 pairs per shingle) instead of a kept⋈kept self-join
     that pushes O(Σ df²) rows through a second shuffle.
 
-    100-TB note: ``collect_list`` state for an over-cap shingle is transient
-    but unbounded; at production scale pre-filter with a count-only aggregate
-    + semi-join (one extra shuffle) so agg state stays ≤ MAX_DF per key.
+    Aggregation-state bound (100 TB): the doc-list is only collected AFTER a
+    count-only document-frequency aggregate + semi-join drops over-cap
+    shingles, so no aggregation buffer ever holds more than MAX_DF doc ids —
+    a stopword-run shingle appearing in 10^7 documents costs one numeric
+    count, never a 10^7-element ``collect_list`` buffer.  The semi-join and
+    the following groupBy hash-partition on the same key, so the collect
+    stage reuses the join's partitioning (no extra shuffle after the join).
     """
     w = _words_df(spark, sf_dir)
     sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
-    # two branches (sizes, groups) recompute the shingling — deliberately NOT
-    # persisted: shingling over the cached words is ~1s at sf0.1 while
-    # caching the exploded frame costs ~25s (InMemoryRelation breaks
-    # whole-stage codegen and concurrent branches race the cache fill,
-    # materializing it twice)
+    # branches recompute the shingling — deliberately NOT persisted:
+    # shingling over the cached words is ~1s at sf0.1 while caching the
+    # exploded frame costs ~25s (InMemoryRelation breaks whole-stage codegen
+    # and concurrent branches race the cache fill, materializing it twice)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    groups = (
+    kept_shingles = (
         sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("_df"), F.collect_list("doc_id").alias("_docs"))
+        .agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") <= MAX_DF)
+        .select("s")
+    )
+    groups = (
+        sh.join(kept_shingles, "s", "left_semi")
+        .groupBy("s")
+        .agg(F.collect_list("doc_id").alias("_docs"))
     )
     pairs = (
         groups.select(F.explode("_docs").alias("doc_a"), "_docs")
@@ -269,6 +308,8 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("e"),
     ).select("doc_id", "e.band_id", "e.band_hash")
+    # bound pair fan-out: over-cap band buckets are dropped before the join
+    exploded = cap_buckets(exploded, ["band_id", "band_hash"])
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -391,6 +432,8 @@ def dedup_simhash_pairs(spark, sf_dir):
             )
         ).alias("e"),
     ).select("doc_id", "simhash", "e.band_id", "e.band_val")
+    # bound pair fan-out: over-cap band buckets are dropped before the join
+    bands = cap_buckets(bands, ["band_id", "band_val"])
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
