@@ -102,6 +102,7 @@ class CdcPipeline:
         n_salts: int = 8,
         collect_part_stats: bool = False,
         dedup_variant: str = "join",
+        debug_checks: bool = False,
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
@@ -122,6 +123,9 @@ class CdcPipeline:
         # 10^8-event production epochs that is a double-read of the source,
         # so it is opt-in for debugging/audit runs only.
         self.collect_part_stats = collect_part_stats
+        # opt-in: assert the redelivery contract (same (key,lsn) ⇒ identical
+        # payload) per epoch — one extra job, for audit/debug runs only
+        self.debug_checks = debug_checks
         self.lineage = self._side_table(lineage_path, LINEAGE_SCHEMA)
         self.checkpoint = self._side_table(checkpoint_path, EPOCH_CHECKPOINT_SCHEMA)
 
@@ -262,6 +266,7 @@ class CdcPipeline:
                 count_col="_fold_cnt",
                 distinct_col="_dst_cnt",
                 stats_df=events_observed,
+                check_payload_consistency=self.debug_checks,
             )
         else:
             net = latest_by_key_salted(

@@ -72,6 +72,29 @@ def latest_by_key_salted(
     return phase2.select(*cols)
 
 
+def assert_payload_consistency(df: DataFrame, key: str, order_col: str) -> None:
+    """Debug check of the redelivery contract ``same (key, order_col) ⇒
+    identical payload`` that makes ``latest_by_key_join``'s final
+    ``dropDuplicates([key])`` deterministic: surfaces a corrupt producer
+    (same LSN, different bytes) loudly instead of silently picking a winner.
+    One extra aggregation job — wire it behind a debug flag, never in the
+    hot path."""
+    payload = [c for c in df.columns if c not in (key, order_col)]
+    bad = (
+        df.groupBy(key, order_col)
+        .agg(F.countDistinct(F.struct(*payload)).alias("_variants"))
+        .where(F.col("_variants") > 1)
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        examples = [(r[key], r[order_col], r["_variants"]) for r in bad]
+        raise ValueError(
+            "payload-consistency violation: same (key, lsn) delivered with "
+            f"differing payloads (corrupt producer?): {examples}"
+        )
+
+
 def latest_by_key_join(
     df: DataFrame,
     key: str,
@@ -79,6 +102,7 @@ def latest_by_key_join(
     count_col: str | None = None,
     distinct_col: str | None = None,
     stats_df: DataFrame | None = None,
+    check_payload_consistency: bool = False,
 ) -> DataFrame:
     """Winner-lsn join variant: same contract as ``latest_by_key_salted``
     but the heavy aggregation never touches the payload.
@@ -100,6 +124,8 @@ def latest_by_key_join(
     frame for the aggregate branch, so attached observations fire exactly
     once even though the input appears twice in the plan.
     """
+    if check_payload_consistency:
+        assert_payload_consistency(df, key, order_col)
     src = stats_df if stats_df is not None else df
     w = src.groupBy(key).agg(
         F.max(order_col).alias("_win"),

@@ -24,6 +24,7 @@ def compact(
     target_file_bytes: int | None = None,
     min_input_files: int = 2,
     partitions: list[str] | None = None,
+    at_snapshot_id: int | None = None,
 ) -> Snapshot:
     """Small-files compaction with bin-packing and per-partition selection.
 
@@ -44,10 +45,22 @@ def compact(
     ``drop_tombstones=True`` drops them all (caller asserts the stream is
     fully drained forever).  Tombstone dropping changes row content, so it
     forces a FULL rewrite (every partition may hold tombstones).
+
+    Concurrency: the whole rewrite is pinned to ONE snapshot — partition
+    selection, the data read, and the commit's ``expected_parent`` all use
+    the same ``snap``, so a writer that commits between the read and the
+    compaction commit raises ``CommitConflict`` instead of having its files
+    silently clobbered by ``replace_partitions`` (the caller retries on the
+    new snapshot).  ``at_snapshot_id`` makes the pin explicit/testable;
+    default is the current snapshot at entry.
     """
     from pyspark.sql import functions as F
 
-    snap = table.current_snapshot()
+    snap = (
+        table.snapshot(at_snapshot_id)
+        if at_snapshot_id is not None
+        else table.current_snapshot()
+    )
     spec = snap.partition_spec
     selective = (
         not drop_tombstones and len(spec) == 1 and snap.inline_files is None
@@ -68,7 +81,7 @@ def compact(
         pfilter = {spec[0].name: set(selected)}
         replace = [{spec[0].name: p} for p in selected]
 
-    df = table.read(spark, partition_filter=pfilter)
+    df = table.read(spark, snapshot_id=snap.snapshot_id, partition_filter=pfilter)
     if drop_tombstones and deleted_col in df.columns:
         dead = F.coalesce(df[deleted_col], F.lit(False))
         if lsn_horizon is not None and lsn_col in df.columns:
@@ -79,7 +92,11 @@ def compact(
     split = None
     if target_file_bytes:
         # per-partition output-file count from current on-disk bytes; the
-        # split value spreads rows round-robin-by-hash across k files
+        # split value spreads rows across k files by a CONTENT-derived hash:
+        # monotonically_increasing_id would be recomputed differently on task
+        # retry / speculative execution (rows duplicated or lost in the
+        # rewrite — the nondeterministic-shuffle-key hazard), while a hash of
+        # the row's columns is stable under any re-execution.
         def _bytes(fs: list[dict]) -> int:
             return sum(
                 os.path.getsize(os.path.join(table.path, f["path"]))
@@ -87,6 +104,7 @@ def compact(
                 if os.path.exists(os.path.join(table.path, f["path"]))
             )
 
+        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
         if selective:
             k_of = {
                 p: max(1, -(-_bytes(by_part[p]) // target_file_bytes)) for p in pfilter[spec[0].name]
@@ -95,16 +113,20 @@ def compact(
             kmap = F.create_map(
                 *[x for p, k in sorted(k_of.items()) for x in (F.lit(p), F.lit(k))]
             )
-            split = F.pmod(F.xxhash64(F.monotonically_increasing_id()), kmap[pexpr])
+            split = F.pmod(row_hash, kmap[pexpr])
         else:
             total = _bytes(snap.files)
             k = max(1, -(-total // target_file_bytes))
-            split = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(k))
+            split = F.pmod(row_hash, F.lit(k))
 
     files = table.write_data_files(df, snap.schema_id, spec, split_expr=split)
     if selective:
-        return table.commit("compact", files, replace_partitions=replace)
-    return table.commit("compact", files, replace_all=True)
+        return table.commit(
+            "compact", files, replace_partitions=replace, expected_parent=snap.snapshot_id
+        )
+    return table.commit(
+        "compact", files, replace_all=True, expected_parent=snap.snapshot_id
+    )
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
@@ -130,10 +152,20 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
             candidates.add(f["path"])
         for m in s.manifests:
             old_shards.add(m["path"])
-    for rel in (candidates - referenced) | (old_shards - kept_shards):
+    dead_shards = old_shards - kept_shards
+    for rel in (candidates - referenced) | dead_shards:
         p = os.path.join(table.path, rel)
         if os.path.exists(p):
             os.unlink(p)
     for sid in expired:
         os.unlink(os.path.join(table.meta_dir, f"v{sid:08d}.json"))
+    # evict the in-process memo caches: an expired snapshot must behave
+    # identically for this process and for a fresh one (FileNotFoundError),
+    # and long-lived processes must not accumulate dead entries
+    from .table import _SHARD_CACHE, _SNAP_CACHE
+
+    for sid in expired:
+        _SNAP_CACHE.pop((table.path, sid), None)
+    for rel in dead_shards:
+        _SHARD_CACHE.pop(os.path.join(table.path, rel), None)
     return expired

@@ -246,29 +246,66 @@ class LakeTable:
     # etl/es/Publish.scala:28-38; Iceberg branch/tag equivalent).
     @property
     def _refs_path(self) -> str:
+        # legacy single-file refs (pre-versioning); still read as the base
         return os.path.join(self.path, "_meta", "refs.json")
 
-    def refs(self) -> dict[str, int]:
+    @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, "_meta", "refs")
+
+    def _refs_versions(self) -> list[int]:
+        if not os.path.isdir(self._refs_dir):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self._refs_dir)
+            if f.startswith("r") and f.endswith(".json")
+        )
+
+    def _read_refs_version(self, versions: list[int]) -> dict[str, int]:
+        if versions:
+            with open(os.path.join(self._refs_dir, f"r{versions[-1]:08d}.json")) as fh:
+                return json.load(fh)
         try:
-            with open(self._refs_path) as fh:
+            with open(self._refs_path) as fh:  # legacy base
                 return json.load(fh)
         except FileNotFoundError:
             return {}
 
+    def refs(self) -> dict[str, int]:
+        return self._read_refs_version(self._refs_versions())
+
     def tag(self, name: str, snapshot_id: int | None = None) -> int:
-        """Point ref ``name`` at a snapshot (default: current) — atomic swap."""
+        """Point ref ``name`` at a snapshot (default: current) — atomic swap.
+
+        Serialized like snapshot commits: the refs dict is versioned and each
+        update is an exclusive-create of the next version (tmp + fsync +
+        hard link), so two concurrent taggers cannot both win a version —
+        the loser re-reads the winner's refs and retries its own update on
+        top (no lost update, unlike a plain read-modify-write + rename).
+        """
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot().snapshot_id
         if sid not in self.snapshot_ids():
             raise ValueError(f"cannot tag unknown snapshot {sid}")
-        refs = self.refs()
-        refs[name] = sid
-        tmp = self._refs_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(refs, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self._refs_path)
-        return sid
+        os.makedirs(self._refs_dir, exist_ok=True)
+        while True:
+            versions = self._refs_versions()
+            refs = self._read_refs_version(versions)
+            refs[name] = sid
+            next_v = (versions[-1] + 1) if versions else 1
+            tmp = os.path.join(self._refs_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(refs, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            final = os.path.join(self._refs_dir, f"r{next_v:08d}.json")
+            try:
+                os.link(tmp, final)
+                return sid
+            except FileExistsError:
+                continue  # lost the race: merge on top of the winner
+            finally:
+                os.unlink(tmp)
 
     def publish(self, name: str = "published", snapshot_id: int | None = None) -> int:
         """Alias-swap publish: consumers reading ``ref=name`` atomically see
