@@ -229,22 +229,11 @@ class CdcPipeline:
         )
         payload_cols = [f.name for f in merged_payload.fields if f.name != self.key_col]
 
-        # ---- per-source-partition lineage (offset ranges) — optional extra
-        # scan (`collect_part_stats`); global offsets/count always come FREE
-        # from an `observe` on the events scan inside the dedup job.
-        if self.collect_part_stats:
-            part_rows = (
-                events.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(
-                    F.min("lsn").alias("source_offset_min"),
-                    F.max("lsn").alias("source_offset_max"),
-                    F.count(F.lit(1)).alias("event_count"),
-                )
-                .collect()
-            )
-            _mark("scan_offsets")
-        else:
-            part_rows = []
+        # ---- lineage: global offsets/count always come FREE from an
+        # `observe` on the events scan inside the dedup job; per-file lsn
+        # coverage (`collect_part_stats`) comes from the parquet footers of
+        # the files the merge writes anyway — NO extra scan of the event
+        # batch in either mode.
 
         # ---- net change per key: salted two-phase keep-max-LSN dedup.
         # net is ≤1 row/key — small vs the event volume — so it is cached and
@@ -320,8 +309,8 @@ class CdcPipeline:
                     raise
                 ev_stats = {"min_lsn": None, "max_lsn": None, "n": 0}
             events_in = ev_stats["n"]
-            if not part_rows:
-                part_rows = self._summary_part_rows(ev_stats)
+            summary_rows = self._summary_part_rows(ev_stats)
+            part_rows = summary_rows
 
             if not affected:
                 # empty epoch: advance the gate with a data-less commit
@@ -333,7 +322,7 @@ class CdcPipeline:
                 res = ApplyResult(
                     epoch_id, new_snap.snapshot_id, events_in, 0, 0, 0, 0, 0, wall, phase_ms=phases
                 )
-                self._write_sidecars(res, part_rows)
+                self._write_sidecars(res, part_rows, summary_rows)
                 return res
 
             pfilter = {BUCKET_PARTITION: set(affected)} if spec else None
@@ -396,7 +385,20 @@ class CdcPipeline:
                 merged,
                 max(snap.schemas) + 1 if evolved else snap.schema_id,
                 spec,
+                # per-file lsn coverage from footers — rides the write the
+                # merge does anyway (executor-side above the file threshold)
+                stats_cols=(INTERNAL_LAST_LSN,) if self.collect_part_stats else (),
             )
+            if self.collect_part_stats:
+                part_rows = [
+                    {
+                        "partition_id": i,
+                        "source_offset_min": (e.get("stats", {}).get(INTERNAL_LAST_LSN) or [None, None])[0],
+                        "source_offset_max": (e.get("stats", {}).get(INTERNAL_LAST_LSN) or [None, None])[1],
+                        "event_count": e["rows"],
+                    }
+                    for i, e in enumerate(files)
+                ]
             cls = obs_cls.get
             n_of = lambda a, d=0: int(cls.get(a) or 0)  # noqa: E731
             # exact duplicates (same lsn redelivered) vs superseded-in-batch
@@ -440,11 +442,17 @@ class CdcPipeline:
             evolved_schema=evolved,
             phase_ms=phases,
         )
-        self._write_sidecars(res, part_rows)
+        self._write_sidecars(res, part_rows, summary_rows)
         return res
 
     # ------------------------------------------------------------- sidecars
-    def _write_sidecars(self, res: ApplyResult, part_rows) -> None:
+    def _write_sidecars(self, res: ApplyResult, part_rows, summary_rows) -> None:
+        """``part_rows``: per-partition lineage detail — the source-offset
+        summary by default, or (``collect_part_stats``) one row per written
+        data file with its footer-derived lsn coverage.  ``summary_rows``:
+        always the observe-derived SOURCE offset range — the epoch summary
+        row and the checkpoint record source offsets regardless of the
+        lineage detail mode."""
         if self.lineage is not None:
             rows = [
                 (
@@ -467,8 +475,8 @@ class CdcPipeline:
                 (
                     res.epoch_id,
                     -1,
-                    min((r["source_offset_min"] for r in part_rows), default=None),
-                    max((r["source_offset_max"] for r in part_rows), default=None),
+                    min((r["source_offset_min"] for r in summary_rows), default=None),
+                    max((r["source_offset_max"] for r in summary_rows), default=None),
                     res.event_count,
                     res.applied_inserts,
                     res.applied_updates,
@@ -482,7 +490,7 @@ class CdcPipeline:
             files = self.lineage.append_rows_local(rows, LINEAGE_SCHEMA)
             self.lineage.commit("append", files)
         if self.checkpoint is not None:
-            self._write_checkpoint_row(res, part_rows)
+            self._write_checkpoint_row(res, summary_rows)
 
     def _write_checkpoint_row(self, res: ApplyResult, part_rows) -> None:
         import datetime as _dt

@@ -99,9 +99,9 @@ def compact(
         # the row's columns is stable under any re-execution.
         def _bytes(fs: list[dict]) -> int:
             return sum(
-                os.path.getsize(os.path.join(table.path, f["path"]))
+                table.io.size(os.path.join(table.path, f["path"]))
                 for f in fs
-                if os.path.exists(os.path.join(table.path, f["path"]))
+                if table.io.exists(os.path.join(table.path, f["path"]))
             )
 
         row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
@@ -154,11 +154,10 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
             old_shards.add(m["path"])
     dead_shards = old_shards - kept_shards
     for rel in (candidates - referenced) | dead_shards:
-        p = os.path.join(table.path, rel)
-        if os.path.exists(p):
-            os.unlink(p)
+        table.io.delete(os.path.join(table.path, rel))
     for sid in expired:
-        os.unlink(os.path.join(table.meta_dir, f"v{sid:08d}.json"))
+        table.io.delete(os.path.join(table.meta_dir, f"v{sid:08d}.json"))
+    table.io.cleanup_empty_dirs(table.data_dir)  # fully-GC'd batch dirs
     # evict the in-process memo caches: an expired snapshot must behave
     # identically for this process and for a fresh one (FileNotFoundError),
     # and long-lived processes must not accumulate dead entries

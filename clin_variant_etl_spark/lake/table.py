@@ -29,13 +29,22 @@ are memoized in-process, so repeated snapshot reads (one per epoch across
 data + sidecar tables) parse only what changed.  All data-path work (write,
 read, align, prune) is executor-side Spark; the driver only touches
 manifests.
+
+Object-store posture (fsio.FileIO): all metadata/commit I/O goes through a
+pluggable FileIO whose exclusive-create primitive maps to a hard link
+locally and a conditional put on S3/GCS; bulk parquet I/O stays on Spark's
+and Arrow's own filesystem layers.  Data files are written ONCE into their
+final batch directory and referenced in place — no rename pass (rename =
+copy on S3) — and per-file footer stats (row counts + optional column
+min/max for lineage) are collected executor-side above
+EXECUTOR_STATS_THRESHOLD files, keeping the driver's per-commit serial work
+at one LIST + O(changed shards) small writes even at 10^4-5 files/commit.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -43,9 +52,16 @@ from dataclasses import dataclass, field
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from .fsio import CommitConflict, FileIO, LocalFileIO  # noqa: F401 (re-export)
 
-class CommitConflict(Exception):
-    """Another writer committed the same snapshot version first."""
+_DEFAULT_IO = LocalFileIO()
+
+# driver-side footer reads are cheaper than a Spark job below this file
+# count; above it, per-file row counts + column stats are collected
+# EXECUTOR-SIDE (one parallelize job over the staged paths) so the driver
+# never does O(files) data-plane round-trips — the 10^4-5-files-per-commit
+# object-store case stays off the serial path
+EXECUTOR_STATS_THRESHOLD = 64
 
 
 @dataclass(frozen=True)
@@ -83,13 +99,82 @@ _SHARD_CACHE: dict[str, list[dict]] = {}
 _SNAP_CACHE: dict[tuple[str, int], "Snapshot"] = {}
 
 
-def _load_shard(abs_path: str) -> list[dict]:
+def _load_shard(abs_path: str, io: FileIO = _DEFAULT_IO) -> list[dict]:
     got = _SHARD_CACHE.get(abs_path)
     if got is None:
-        with open(abs_path) as fh:
-            got = json.load(fh)
+        got = json.loads(io.read(abs_path))
         _SHARD_CACHE[abs_path] = got
     return got
+
+
+def _read_footer_stats(path: str, cols: tuple[str, ...]) -> tuple[int, dict]:
+    """(row_count, {col: [min, max]}) from one parquet footer — metadata-only
+    read (no data pages).  Self-contained so it can run inside an executor
+    task (imports inside the function body)."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(path).metadata
+    stats: dict[str, list] = {}
+    if cols:
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            i = name_to_idx.get(c)
+            if i is None:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[c] = [lo, hi]
+    return md.num_rows, stats
+
+
+def _collect_parquet_stats(
+    spark, paths: list[str], stats_cols: tuple[str, ...]
+) -> dict[str, tuple[int, dict]]:
+    """Per-file (rows, column min/max) for every path.
+
+    ≤ EXECUTOR_STATS_THRESHOLD files: driver-side loop (cheaper than a job).
+    Above: one Spark job fans the footer reads over executors and collects
+    only the tiny stats tuples — the driver's serial work stays O(1) per
+    file *entry*, never O(files) footer round-trips.
+    """
+    if len(paths) <= EXECUTOR_STATS_THRESHOLD:
+        return {p: _read_footer_stats(p, stats_cols) for p in paths}
+    sc = spark.sparkContext
+    n_slices = min(len(paths), sc.defaultParallelism * 2)
+
+    # nested closure → cloudpickle serializes it BY VALUE, so executors
+    # don't need this repo on sys.path (same convention as the pandas UDFs)
+    def _footer(p, _cols=tuple(stats_cols)):
+        import pyarrow.parquet as _pq
+
+        md = _pq.ParquetFile(p).metadata
+        stats = {}
+        if _cols:
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in _cols:
+                i = idx.get(c)
+                if i is None:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+                if lo is not None:
+                    stats[c] = [lo, hi]
+        return p, (md.num_rows, stats)
+
+    return dict(sc.parallelize(paths, n_slices).map(_footer).collect())
 
 
 @dataclass
@@ -108,6 +193,7 @@ class Snapshot:
     # legacy single-manifest snapshots carry the file list inline
     inline_files: list[dict] | None = None
     root: str | None = None  # table path, for resolving shard refs
+    io: FileIO = field(default=_DEFAULT_IO, repr=False, compare=False)
 
     @property
     def schema(self) -> T.StructType:
@@ -120,7 +206,7 @@ class Snapshot:
             return self.inline_files
         out: list[dict] = []
         for m in self.manifests:
-            out.extend(_load_shard(os.path.join(self.root, m["path"])))
+            out.extend(_load_shard(os.path.join(self.root, m["path"]), self.io))
         return out
 
     def to_json(self) -> dict:
@@ -140,7 +226,7 @@ class Snapshot:
         return d
 
     @staticmethod
-    def from_json(d: dict, root: str | None = None) -> "Snapshot":
+    def from_json(d: dict, root: str | None = None, io: FileIO = _DEFAULT_IO) -> "Snapshot":
         return Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d.get("parent_id"),
@@ -153,6 +239,7 @@ class Snapshot:
             properties=d.get("properties", {}),
             inline_files=d.get("files"),
             root=root,
+            io=io,
         )
 
 
@@ -163,8 +250,9 @@ def _snap_path(meta_dir: str, sid: int) -> str:
 class LakeTable:
     """Handle on one lake table rooted at ``path``."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, io: FileIO | None = None):
         self.path = path
+        self.io = io or _DEFAULT_IO
         self.meta_dir = os.path.join(path, "_meta", "snapshots")
         self.manifest_dir = os.path.join(path, "_meta", "manifests")
         self.data_dir = os.path.join(path, "data")
@@ -176,11 +264,12 @@ class LakeTable:
         schema: T.StructType,
         partition_spec: list[PartitionField] | None = None,
         properties: dict[str, str] | None = None,
+        io: FileIO | None = None,
     ) -> "LakeTable":
-        t = LakeTable(path)
-        os.makedirs(t.meta_dir, exist_ok=True)
-        os.makedirs(t.manifest_dir, exist_ok=True)
-        os.makedirs(t.data_dir, exist_ok=True)
+        t = LakeTable(path, io=io)
+        t.io.makedirs(t.meta_dir)
+        t.io.makedirs(t.manifest_dir)
+        t.io.makedirs(t.data_dir)
         # a re-created path must not serve another incarnation's cache
         for k in [k for k in _SNAP_CACHE if k[0] == path]:
             del _SNAP_CACHE[k]
@@ -200,15 +289,14 @@ class LakeTable:
         return t
 
     @staticmethod
-    def exists(path: str) -> bool:
+    def exists(path: str, io: FileIO | None = None) -> bool:
+        io = io or _DEFAULT_IO
         d = os.path.join(path, "_meta", "snapshots")
-        return os.path.isdir(d) and any(f.startswith("v") for f in os.listdir(d))
+        return io.isdir(d) and any(f.startswith("v") for f in io.list(d))
 
     def snapshot_ids(self) -> list[int]:
-        if not os.path.isdir(self.meta_dir):
-            return []
         out = []
-        for f in os.listdir(self.meta_dir):
+        for f in self.io.list(self.meta_dir):
             if f.startswith("v") and f.endswith(".json"):
                 out.append(int(f[1:-5]))
         return sorted(out)
@@ -223,8 +311,11 @@ class LakeTable:
         key = (self.path, sid)
         got = _SNAP_CACHE.get(key)
         if got is None:
-            with open(_snap_path(self.meta_dir, sid)) as fh:
-                got = Snapshot.from_json(json.load(fh), root=self.path)
+            got = Snapshot.from_json(
+                json.loads(self.io.read(_snap_path(self.meta_dir, sid))),
+                root=self.path,
+                io=self.io,
+            )
             _SNAP_CACHE[key] = got
         return got
 
@@ -254,21 +345,19 @@ class LakeTable:
         return os.path.join(self.path, "_meta", "refs")
 
     def _refs_versions(self) -> list[int]:
-        if not os.path.isdir(self._refs_dir):
-            return []
         return sorted(
             int(f[1:-5])
-            for f in os.listdir(self._refs_dir)
+            for f in self.io.list(self._refs_dir)
             if f.startswith("r") and f.endswith(".json")
         )
 
     def _read_refs_version(self, versions: list[int]) -> dict[str, int]:
         if versions:
-            with open(os.path.join(self._refs_dir, f"r{versions[-1]:08d}.json")) as fh:
-                return json.load(fh)
+            return json.loads(
+                self.io.read(os.path.join(self._refs_dir, f"r{versions[-1]:08d}.json"))
+            )
         try:
-            with open(self._refs_path) as fh:  # legacy base
-                return json.load(fh)
+            return json.loads(self.io.read(self._refs_path))  # legacy base
         except FileNotFoundError:
             return {}
 
@@ -287,25 +376,18 @@ class LakeTable:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot().snapshot_id
         if sid not in self.snapshot_ids():
             raise ValueError(f"cannot tag unknown snapshot {sid}")
-        os.makedirs(self._refs_dir, exist_ok=True)
+        self.io.makedirs(self._refs_dir)
         while True:
             versions = self._refs_versions()
             refs = self._read_refs_version(versions)
             refs[name] = sid
             next_v = (versions[-1] + 1) if versions else 1
-            tmp = os.path.join(self._refs_dir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as fh:
-                json.dump(refs, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
             final = os.path.join(self._refs_dir, f"r{next_v:08d}.json")
             try:
-                os.link(tmp, final)
+                self.io.put_exclusive(final, json.dumps(refs).encode())
                 return sid
-            except FileExistsError:
+            except CommitConflict:
                 continue  # lost the race: merge on top of the winner
-            finally:
-                os.unlink(tmp)
 
     def publish(self, name: str = "published", snapshot_id: int | None = None) -> int:
         """Alias-swap publish: consumers reading ``ref=name`` atomically see
@@ -320,19 +402,15 @@ class LakeTable:
         return refs[name]
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        """Atomic exclusive-create commit: tmp write + fsync + hard link."""
-        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(snap.to_json(), fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+        """Atomic exclusive-create commit (FileIO.put_exclusive: hard link
+        locally, conditional put on an object store)."""
         final = _snap_path(self.meta_dir, snap.snapshot_id)
         try:
-            os.link(tmp, final)
-        except FileExistsError as e:
-            raise CommitConflict(f"snapshot {snap.snapshot_id} already committed") from e
-        finally:
-            os.unlink(tmp)
+            self.io.put_exclusive(final, json.dumps(snap.to_json()).encode())
+        except CommitConflict as e:
+            raise CommitConflict(
+                f"snapshot {snap.snapshot_id} already committed"
+            ) from e
         _SNAP_CACHE[(self.path, snap.snapshot_id)] = snap
 
     # ------------------------------------------------------------------ write
@@ -346,6 +424,7 @@ class LakeTable:
         spec: list[PartitionField],
         target_partitions: int | None = None,
         split_expr: F.Column | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> list[dict]:
         """Write df as new immutable data files; return manifest entries.
 
@@ -356,8 +435,16 @@ class LakeTable:
         ``split_expr`` (int-valued) sub-splits each partition into that many
         files (compaction's target-file-size packing); the split value is
         NOT part of the table's partition tuple.
+
+        Object-store posture: files are written ONCE into their final batch
+        directory (``data/b-<uuid>/…``) and referenced in place — no
+        per-file rename pass (rename = copy on S3).  Per-file row counts
+        (and optional ``stats_cols`` min/max, e.g. the lsn range per file
+        for lineage) come from parquet footers, collected executor-side
+        above EXECUTOR_STATS_THRESHOLD files so the driver's serial work is
+        one LIST plus the entry bookkeeping, not O(files) footer reads.
         """
-        stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        batch_dir = os.path.join(self.data_dir, f"b-{uuid.uuid4().hex}")
         pnames = [f"__p_{p.name}" for p in spec]
         out = df.select("*", *self._partition_exprs(spec)) if spec else df
         if split_expr is not None:
@@ -369,41 +456,42 @@ class LakeTable:
             # repartition-before-write (EtlConfiguration.scala:47,52)
             nparts = target_partitions or out.sparkSession.conf.get("spark.sql.shuffle.partitions")
             out = out.repartition(int(nparts), *pnames)
-            out.write.partitionBy(*pnames).mode("overwrite").parquet(stage)
+            out.write.partitionBy(*pnames).mode("overwrite").parquet(batch_dir)
         else:
-            out.write.mode("overwrite").parquet(stage)
+            out.write.mode("overwrite").parquet(batch_dir)
 
-        entries: list[dict] = []
-        for root, _dirs, files in os.walk(stage):
-            rel = os.path.relpath(root, stage)
+        staged: list[tuple[str, str, dict]] = []  # (abs, rel-to-table, pvals)
+        for absf, rel in self.io.walk_files(batch_dir):
+            if not rel.endswith(".parquet"):
+                self.io.delete(absf)  # _SUCCESS and friends
+                continue
             pvals: dict[str, str] = {}
-            if rel != ".":
-                for part in rel.split(os.sep):
-                    k, _, v = part.partition("=")
-                    k = k.removeprefix("__p_")
-                    if k == "_split":
-                        continue  # file-packing split, not a partition value
-                    pvals[k] = v
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, fn)
-                base = "-".join(f"{k}_{v}" for k, v in pvals.items()) or "full"
-                dst_name = f"{base}-{uuid.uuid4().hex}.parquet"
-                dst = os.path.join(self.data_dir, dst_name)
-                nrows = pq.ParquetFile(src).metadata.num_rows
-                if nrows == 0:
-                    continue
-                os.rename(src, dst)
-                entries.append(
-                    {
-                        "path": os.path.join("data", dst_name),
-                        "partition": pvals,
-                        "schema_id": schema_id,
-                        "rows": nrows,
-                    }
-                )
-        shutil.rmtree(stage, ignore_errors=True)
+            for part in rel.split(os.sep)[:-1]:
+                k, _, v = part.partition("=")
+                k = k.removeprefix("__p_")
+                if k == "_split":
+                    continue  # file-packing split, not a partition value
+                pvals[k] = v
+            staged.append((absf, os.path.relpath(absf, self.path), pvals))
+
+        stats = _collect_parquet_stats(
+            df.sparkSession, [s[0] for s in staged], stats_cols
+        )
+        entries: list[dict] = []
+        for absf, rel, pvals in staged:
+            nrows, col_stats = stats[absf]
+            if nrows == 0:
+                self.io.delete(absf)
+                continue
+            e = {
+                "path": rel,
+                "partition": pvals,
+                "schema_id": schema_id,
+                "rows": nrows,
+            }
+            if col_stats:
+                e["stats"] = col_stats
+            entries.append(e)
         return entries
 
     def append_rows_local(
@@ -535,9 +623,7 @@ class LakeTable:
         for key, fs in sorted(groups.items()):
             rel = os.path.join("_meta", "manifests", f"m-{uuid.uuid4().hex}.json")
             absf = os.path.join(self.path, rel)
-            with open(absf + ".tmp", "w") as fh:
-                json.dump(fs, fh)
-            os.replace(absf + ".tmp", absf)
+            self.io.put_atomic(absf, json.dumps(fs).encode())
             _SHARD_CACHE[absf] = fs
             refs.append({"path": rel, "partition": dict(key), "n_files": len(fs)})
         return refs
@@ -569,7 +655,11 @@ class LakeTable:
                 for m in snap.manifests
                 if all(m["partition"].get(k) in v for k, v in partition_filter.items())
             ]
-            files = [f for m in refs for f in _load_shard(os.path.join(self.path, m["path"]))]
+            files = [
+                f
+                for m in refs
+                for f in _load_shard(os.path.join(self.path, m["path"]), self.io)
+            ]
         else:
             files = snap.files
             if partition_filter:
@@ -589,7 +679,14 @@ class LakeTable:
         parts = []
         for sid, paths in sorted(by_schema.items()):
             src_schema = snap.schemas[sid]
-            df = spark.read.schema(src_schema).parquet(*paths)
+            # recursiveFileLookup disables partition-value inference from the
+            # staged __p_*=v directory names — partition values come from the
+            # manifest, and the original columns live inside the files
+            df = (
+                spark.read.schema(src_schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(*paths)
+            )
             if src_schema != cur:
                 have = {f.name for f in src_schema.fields}
                 cols = [

@@ -162,8 +162,12 @@ def test_compact_and_expire(spark, tmp_path):
     assert expired
     assert t.read(spark).count() == 6  # current snapshot intact
     live = {os.path.join(t.path, f["path"]) for f in t.current_snapshot().files}
-    on_disk = {os.path.join(t.data_dir, p) for p in os.listdir(t.data_dir)}
-    assert on_disk == live  # orphans garbage-collected
+    on_disk = {
+        os.path.join(root, fn)
+        for root, _d, files in os.walk(t.data_dir)
+        for fn in files
+    }
+    assert on_disk == live  # orphans garbage-collected (recursive: batch dirs)
 
 
 def test_manifest_shards_reused_across_commits(spark, tmp_path):
