@@ -28,6 +28,8 @@ untouched shards are reused by reference and memoized.
 from __future__ import annotations
 
 import os
+import posixpath
+import threading
 import uuid
 
 
@@ -143,3 +145,101 @@ class LocalFileIO(FileIO):
                     os.rmdir(root)
                 except OSError:
                     pass
+
+
+class MemoryFileIO(FileIO):
+    """Object-store-semantics implementation: a flat key→bytes namespace with
+    no real directories, conditional-put exclusivity, and no rename/link.
+
+    Exists to prove (and test) that the table's commit protocol needs ONLY
+    the primitives an object store offers — every ``os.*`` idiom lives behind
+    ``LocalFileIO``.  ``put_exclusive`` is a compare-and-swap on key absence
+    under one lock, i.e. exactly S3 ``If-None-Match: *`` semantics; LIST is a
+    prefix scan.  Driver-process-local by construction (the metadata plane is
+    driver-side), so it also serves as the in-memory test double.
+    """
+
+    def __init__(self) -> None:
+        self._objects: dict[str, bytes] = {}
+        self._dirs: set[str] = set()
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return posixpath.normpath(path.replace(os.sep, "/"))
+
+    def makedirs(self, path: str) -> None:
+        with self._lock:
+            self._dirs.add(self._norm(path))
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        with self._lock:
+            return p in self._objects or self.isdir(path)
+
+    def isdir(self, path: str) -> bool:
+        p = self._norm(path)
+        pref = p + "/"
+        return p in self._dirs or any(k.startswith(pref) for k in self._objects)
+
+    def list(self, path: str) -> list[str]:
+        pref = self._norm(path) + "/"
+        with self._lock:
+            names = {
+                k[len(pref):].split("/", 1)[0]
+                for k in self._objects
+                if k.startswith(pref)
+            }
+            names |= {
+                d[len(pref):].split("/", 1)[0]
+                for d in self._dirs
+                if d.startswith(pref)
+            }
+        return sorted(names)
+
+    def walk_files(self, path: str):
+        pref = self._norm(path) + "/"
+        with self._lock:
+            keys = [k for k in self._objects if k.startswith(pref)]
+        for k in sorted(keys):
+            yield k, k[len(pref):]
+
+    def read(self, path: str) -> bytes:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._objects:
+                raise FileNotFoundError(p)
+            return self._objects[p]
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._objects[self._norm(path)] = data
+
+    def put_exclusive(self, path: str, data: bytes) -> None:
+        p = self._norm(path)
+        with self._lock:
+            if p in self._objects:
+                raise CommitConflict(f"{p} already exists")
+            self._objects[p] = data
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(self._norm(path), None)
+
+    def size(self, path: str) -> int:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._objects:
+                raise FileNotFoundError(p)
+            return len(self._objects[p])
+
+    def cleanup_empty_dirs(self, path: str) -> None:
+        pref = self._norm(path) + "/"
+        with self._lock:
+            live = {k.rsplit("/", 1)[0] for k in self._objects}
+            self._dirs = {
+                d
+                for d in self._dirs
+                if not d.startswith(pref)
+                or any(ld == d or ld.startswith(d + "/") for ld in live)
+            }
