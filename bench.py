@@ -99,6 +99,8 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
             # summary-only offset lineage: one fewer Spark job per epoch
             # (global offsets observed for free during the dedup pass)
             collect_part_stats=os.environ.get("SPARK_GRAFT_BENCH_PART_STATS", "0") == "1",
+            # scaling-protocol A/B: measure either dedup variant
+            dedup_variant=os.environ.get("SPARK_GRAFT_BENCH_DEDUP_VARIANT", "join"),
         )
         # epoch 0 is JVM/codegen warmup — applied but excluded from the
         # measured window (identical treatment at every parallelism level).
@@ -111,7 +113,9 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
         total_events = 0
         t0 = None
         per_epoch = []
+        phase_log = []
         warm_events = 0
+        show_phases = os.environ.get("SPARK_GRAFT_BENCH_PHASES", "0") == "1"
         for ep, g in enumerate(groups):
             df = spark.read.parquet(*[os.path.join(ev_dir, f"epoch={i}") for i in g])
             if ep == warmup:
@@ -122,6 +126,9 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
             else:
                 total_events += res.event_count
             per_epoch.append(round(res.wall_ms / 1000.0, 3))
+            if show_phases:
+                phase_log.append({"epoch": ep, **(res.phase_ms or {})})
+                sys.stderr.write(f"PHASES epoch={ep}: {res.phase_ms}\n")
         apply_s = time.monotonic() - (t0 or time.monotonic())
         return {
             "events": total_events,

@@ -245,6 +245,7 @@ class CdcPipeline:
             F.max("lsn").alias("max_lsn"),
             F.count(F.lit(1)).alias("n"),
         )
+        dedup_cleanup: list = []
         if self.dedup_variant == "join":
             # observation rides the slim aggregate branch only, so it fires
             # exactly once even though `events` appears twice in the plan
@@ -256,6 +257,7 @@ class CdcPipeline:
                 distinct_col="_dst_cnt",
                 stats_df=events_observed,
                 check_payload_consistency=self.debug_checks,
+                cleanup=dedup_cleanup,
             )
         else:
             net = latest_by_key_salted(
@@ -408,6 +410,8 @@ class CdcPipeline:
             _mark("write")
         finally:
             net.unpersist()
+            for h in dedup_cleanup:
+                h.unpersist()
 
         props = {"last_epoch_id": str(epoch_id), "epoch_id": str(epoch_id)}
         try:

@@ -103,6 +103,8 @@ def latest_by_key_join(
     distinct_col: str | None = None,
     stats_df: DataFrame | None = None,
     check_payload_consistency: bool = False,
+    broadcast_max_rows: int | None = 4_000_000,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Winner-lsn join variant: same contract as ``latest_by_key_salted``
     but the heavy aggregation never touches the payload.
@@ -120,9 +122,24 @@ def latest_by_key_join(
     ``dropDuplicates([key])`` is deterministic in content because same
     (key, lsn) implies an identical redelivered payload.
 
+    **Adaptive broadcast** (``broadcast_max_rows``): the winner frame is 4
+    narrow columns — when its MEASURED row count (one count job over the
+    persisted slim aggregate, pennies next to the payload pass) is at or
+    under the threshold, it is broadcast, and the payload side never
+    shuffles at all in the dedup: events are hash-probe filtered map-side
+    in their source partitioning, so the only payload movement of the whole
+    dedup is the ≤1-row-per-key winner set — immune to hot-key skew by
+    construction (no shuffle, no hot partition).  Above the threshold
+    (10^8-key production epochs, where a broadcast would not fit) the plan
+    falls back to the (key, lsn)-spread shuffle join unchanged.  Pass
+    ``None`` to disable the count probe entirely.
+
     ``stats_df``: optionally a different (e.g. ``observe``-instrumented)
     frame for the aggregate branch, so attached observations fire exactly
     once even though the input appears twice in the plan.
+    ``cleanup``: when the broadcast probe persists the winner frame, the
+    persisted handle is appended here so the caller can unpersist after the
+    downstream consumer has materialized.
     """
     if check_payload_consistency:
         assert_payload_consistency(df, key, order_col)
@@ -133,6 +150,12 @@ def latest_by_key_join(
         F.countDistinct(order_col).alias("_dst"),
     )
     win = w.select(F.col(key), F.col("_win").alias(order_col), "_cnt", "_dst")
+    if broadcast_max_rows is not None:
+        win = win.persist()
+        if cleanup is not None:
+            cleanup.append(win)
+        if win.count() <= broadcast_max_rows:
+            win = F.broadcast(win)
     out = df.join(win, [key, order_col]).dropDuplicates([key])
     keep = [c for c in df.columns]
     if count_col:

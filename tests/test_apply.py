@@ -195,11 +195,30 @@ def test_dedup_variants_equivalent(spark):
         rows, "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
     )
     a = latest_by_key_salted(ev, "doc_id", "lsn", 4, count_col="_c", distinct_col="_d")
-    b = latest_by_key_join(ev, "doc_id", "lsn", count_col="_c", distinct_col="_d")
+    # join variant in BOTH plan shapes: winner-set broadcast (the adaptive
+    # default when the measured winner count fits) and the shuffle-join
+    # fallback (production epochs above the broadcast threshold)
+    cleanup: list = []
+    b = latest_by_key_join(
+        ev, "doc_id", "lsn", count_col="_c", distinct_col="_d", cleanup=cleanup
+    )
+    c = latest_by_key_join(
+        ev,
+        "doc_id",
+        "lsn",
+        count_col="_c",
+        distinct_col="_d",
+        broadcast_max_rows=0,
+        cleanup=cleanup,
+    )
     ka = {r["doc_id"]: (r["lsn"], r["tokens"], r["_c"], r["_d"]) for r in a.collect()}
     kb = {r["doc_id"]: (r["lsn"], r["tokens"], r["_c"], r["_d"]) for r in b.collect()}
-    assert ka == kb == {
+    kc = {r["doc_id"]: (r["lsn"], r["tokens"], r["_c"], r["_d"]) for r in c.collect()}
+    assert ka == kb == kc == {
         "a": (3, [3], 4, 3),
         "b": (5, [5], 2, 1),
         "c": (4, [4], 1, 1),
     }
+    assert len(cleanup) == 2  # persisted winner handles surfaced to the caller
+    for h in cleanup:
+        h.unpersist()
