@@ -1,10 +1,10 @@
-"""Dedup keep-latest-within-key — the E1 pattern, three implementations.
+"""Dedup keep-latest-within-key — the E1 pattern, four implementations.
 
 The reference's CDC dedup (`KeepFirstWithinPartition(Seq("id"), desc(ingested_on))`,
 etl/fhir/FhirRawToNormalizedMappings.scala:14-17) keeps the newest version of
 each resource id.  Our key is ``doc_id`` and the order column is ``lsn``.
 
-Three variants, all order-insensitive and deterministic (SURVEY.md §7.4 rules
+Four variants, all order-insensitive and deterministic (SURVEY.md §7.4 rules
 out the reference's order-unstable orderBy+dropDuplicates E5 pattern):
 
 1. ``latest_by_key_window``  — row_number over (key, lsn desc): simple, but a
@@ -12,8 +12,11 @@ out the reference's order-unstable orderBy+dropDuplicates E5 pattern):
 2. ``latest_by_key_salted``  — two-phase max_by: pre-reduce per (key, salt)
    so a hot key's rows are first reduced in S parallel tasks, then the S
    survivors reduce per key.  Map-side partial aggregation + salt makes this
-   skew-proof; this is the engine default (north_star skew handling).
-3. ``latest_by_key_pandas``  — Arrow/pandas variant (applyInPandas) for the
+   skew-proof (north_star skew handling).
+3. ``latest_by_key_join``   — numeric-only winner aggregation + payload
+   join, with adaptive winner-set broadcast; the engine default
+   (``CdcPipeline(dedup_variant=…)`` selects).
+4. ``latest_by_key_pandas``  — Arrow/pandas variant (applyInPandas) for the
    cases where the reduction itself needs imperative logic; zero per-row
    Python (vectorized idxmax within each Arrow batch group).
 """
