@@ -29,6 +29,31 @@ import sys
 import tempfile
 import time
 
+MALLOC_TUNE_ENV = {
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+    "MALLOC_MMAP_THRESHOLD_": "17179869184",
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+}
+
+
+def reexec_with_malloc_tuning() -> None:
+    """Allocator posture for the bench process (generator + Spark driver).
+
+    glibc reads the MALLOC_* tunables once at startup, so they must be in
+    the environment before Python boots — re-exec once if they are not.
+    Why: this sandbox's VM memory is lazily backed (first-touch page faults
+    measured ~400× slower than re-touched pages); an allocator that trims
+    freed pages back to the OS re-pays that cost every epoch — bench noise,
+    not engine time.  Python workers get the same posture via
+    spark.executorEnv (session.py).  Opt out: SPARK_GRAFT_NO_MALLOC_TUNE=1.
+    """
+    if os.environ.get("_SPARK_GRAFT_MALLOC_TUNED") == "1":
+        return
+    if os.environ.get("SPARK_GRAFT_NO_MALLOC_TUNE") == "1":
+        return
+    env = dict(os.environ, _SPARK_GRAFT_MALLOC_TUNED="1", **MALLOC_TUNE_ENV)
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 
 def gen_events(n_events: int, out_dir: str, files_per_epoch: int, n_epochs: int = 6) -> float:
     """Generate the deterministic CDC event log (seed 42) into out_dir."""
@@ -220,4 +245,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    reexec_with_malloc_tuning()
     main()

@@ -84,6 +84,7 @@ def all_queries(include_suite_only: bool = False) -> dict[str, QuerySpec]:
         freq_cascade,
         intervals,
         multimodal,
+        packing,
         relational,
         scans,
         simops,

@@ -78,6 +78,18 @@ def build_session(
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "4194304"),
         )
+        # Python-worker allocator posture: keep freed arena pages RESIDENT
+        # (no trim, no mmap for big buffers) and route Arrow through the
+        # system allocator so the same policy applies.  On lazily-backed VM
+        # memory (userfaultfd/ballooned guests — this sandbox measured
+        # first-touch page faults at ~5 MB/s vs GB/s for re-touched pages, a
+        # 400× swing) an allocator that returns pages to the OS re-pays the
+        # first-touch cost on EVERY batch; pooled pages pay it once.  On
+        # normally-backed hosts these are harmless — the workers simply keep
+        # their high-water arena, which steady-state executors do anyway.
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "17179869184")
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

