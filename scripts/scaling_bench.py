@@ -138,6 +138,16 @@ def main() -> None:
         gen_s = gen_events(n_events, tmp, files_per_epoch=n_hi, n_epochs=n_epochs)
         print(f"generated in {gen_s:.0f}s at {tmp}", flush=True)
 
+    # On lazily-backed VM memory, populate guest frames ONCE before any timed
+    # leg so JVM heaps / python workers never pay host-side first-touch
+    # faults inside a measurement window (scripts/prefault.py rationale).
+    pf_gib = float(os.environ.get("SPARK_GRAFT_PREFAULT_GIB", "0"))
+    if pf_gib > 0:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from prefault import prefault
+
+        prefault(pf_gib)
+
     legs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     cpus_cal: dict[int, list[float]] = {n_lo: [], n_hi: []}
     membw_cal: dict[int, list[float]] = {n_lo: [], n_hi: []}
