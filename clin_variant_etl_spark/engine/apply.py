@@ -59,7 +59,12 @@ def create_cdc_table(
             T.StructField(INTERNAL_DELETED, T.BooleanType(), True),
         ]
     )
-    spec = [PartitionField(BUCKET_PARTITION, key_col, "bucket", n_buckets)]
+    # bucket_m3 = pmod(murmur3(key), n) — identical to Spark's
+    # HashPartitioning formula, so the merge join (hash-partitioned on the
+    # key into exactly n_buckets partitions) produces output that is ALREADY
+    # physically grouped by bucket and the pre-write repartition exchange of
+    # the full merged table is skipped (write_data_files(aligned=True)).
+    spec = [PartitionField(BUCKET_PARTITION, key_col, "bucket_m3", n_buckets)]
     return LakeTable.create(path, schema, spec)
 
 
@@ -334,7 +339,28 @@ class CdcPipeline:
             # merge write is the only action — no separate stats job.
             target = self.table.read(self.spark, partition_filter=pfilter)
             target = _align(target, new_schema.fields)
-            s, t = net.alias("s"), target.alias("t")
+            # ---- bucket-aligned merge: with a bucket_m3 spec on the key,
+            # hash-partitioning BOTH join inputs on the key into exactly
+            # n_buckets partitions makes the join run co-partitioned (no
+            # extra exchange) AND leaves its output physically grouped by
+            # bucket — pmod(murmur3(key), n) is precisely the partition id
+            # repartition(n, key) assigns.  The write then skips its own
+            # repartition of the merged table (the widest frame of the
+            # epoch: every payload column incl. token arrays) — one full
+            # shuffle less per epoch.  Misalignment is impossible by
+            # construction, and partitionBy routes by value anyway.
+            aligned = (
+                len(spec) == 1
+                and spec[0].transform == "bucket_m3"
+                and spec[0].source_col == self.key_col
+            )
+            if aligned:
+                n_b = spec[0].n
+                net_j = net.repartition(n_b, self.key_col)
+                target = target.repartition(n_b, self.key_col)
+            else:
+                net_j = net
+            s, t = net_j.alias("s"), target.alias("t")
             joined = s.join(
                 t, F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"), "full_outer"
             )
@@ -390,6 +416,7 @@ class CdcPipeline:
                 # per-file lsn coverage from footers — rides the write the
                 # merge does anyway (executor-side above the file threshold)
                 stats_cols=(INTERNAL_LAST_LSN,) if self.collect_part_stats else (),
+                aligned=aligned,
             )
             if self.collect_part_stats:
                 part_rows = [

@@ -69,8 +69,16 @@ class PartitionField:
     """One element of the partition spec.
 
     transform:
-      - "identity": partition value = string value of ``source_col``
-      - "bucket":   partition value = pmod(xxhash64(source_col), n)
+      - "identity":  partition value = string value of ``source_col``
+      - "bucket":    partition value = pmod(xxhash64(source_col), n)
+      - "bucket_m3": partition value = pmod(murmur3(source_col), n) — the
+        EXACT formula of Spark's ``HashPartitioning.partitionIdExpression``
+        (``F.hash`` is Murmur3 seed 42, the same hash ``repartition(n, col)``
+        uses).  A frame that is hash-partitioned on ``source_col`` into
+        exactly ``n`` partitions is therefore ALREADY physically grouped by
+        this bucket value — writers can skip the pre-write repartition
+        exchange entirely (``write_data_files(aligned=True)``).  The default
+        for new CDC tables; "bucket" remains readable for existing tables.
     """
 
     name: str
@@ -84,6 +92,8 @@ class PartitionField:
             return c.cast("string")
         if self.transform == "bucket":
             return F.pmod(F.xxhash64(c), F.lit(self.n)).cast("int").cast("string")
+        if self.transform == "bucket_m3":
+            return F.pmod(F.hash(c), F.lit(self.n)).cast("int").cast("string")
         raise ValueError(f"unknown transform {self.transform}")
 
     def to_json(self) -> dict:
@@ -425,6 +435,7 @@ class LakeTable:
         target_partitions: int | None = None,
         split_expr: F.Column | None = None,
         stats_cols: tuple[str, ...] = (),
+        aligned: bool = False,
     ) -> list[dict]:
         """Write df as new immutable data files; return manifest entries.
 
@@ -435,6 +446,17 @@ class LakeTable:
         ``split_expr`` (int-valued) sub-splits each partition into that many
         files (compaction's target-file-size packing); the split value is
         NOT part of the table's partition tuple.
+
+        ``aligned=True`` declares that ``df``'s physical partitioning already
+        groups rows by the partition tuple (a "bucket_m3" spec fed by a plan
+        that is hash-partitioned on the bucket source column into exactly
+        ``n`` partitions — Spark's HashPartitioning computes the identical
+        pmod(murmur3, n)).  The pre-write repartition exchange is then
+        skipped: for the CDC merge that removes a full shuffle of the widest
+        frame in the epoch (the merged table including token arrays).
+        Correctness never depends on the claim — ``partitionBy`` routes rows
+        by VALUE, so a misaligned input merely writes more files per
+        partition, never wrong ones.
 
         Object-store posture: files are written ONCE into their final batch
         directory (``data/b-<uuid>/…``) and referenced in place — no
@@ -451,11 +473,16 @@ class LakeTable:
             out = out.withColumn("__p__split", split_expr.cast("int").cast("string"))
             pnames = pnames + ["__p__split"]
         if pnames:
-            # co-locate rows of one partition into one task → one file per
-            # partition value (plus AQE coalesce); mirrors the reference's
-            # repartition-before-write (EtlConfiguration.scala:47,52)
-            nparts = target_partitions or out.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            out = out.repartition(int(nparts), *pnames)
+            if not aligned:
+                # co-locate rows of one partition into one task → one file
+                # per partition value (plus AQE coalesce); mirrors the
+                # reference's repartition-before-write
+                # (EtlConfiguration.scala:47,52).  aligned=True skips this:
+                # the caller's plan already clusters the partition tuple.
+                nparts = target_partitions or out.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+                out = out.repartition(int(nparts), *pnames)
             out.write.partitionBy(*pnames).mode("overwrite").parquet(batch_dir)
         else:
             out.write.mode("overwrite").parquet(batch_dir)

@@ -600,3 +600,70 @@ def doc_fingerprints(spark, sf_dir):
         F.md5(F.lower(F.col("text"))).alias("content_md5"),
         fp.alias("winnow_fp"),
     ).where(F.col("winnow_fp").isNotNull())
+
+
+# =========================================================================
+# Benchmark decontamination — the training-data hygiene step: flag corpus
+# documents that contain word 5-grams from a held-out benchmark/eval set
+# (here derived deterministically in-data: docs with doc_id % 97 == 0 play
+# the benchmark suite).  Reference analogue: the membership blacklists the
+# reference joins against before publishing (etl/enriched/Variants.scala
+# enrichment joins); the operator shape is the standard n-gram-overlap
+# decontamination used on web-scale training corpora.
+#
+# Scale path (100 TB corpus, ~10^6-gram benchmark set): the benchmark gram
+# set is tiny next to the corpus → broadcast; the corpus side is a map-side
+# explode + broadcast LEFT join (hash probe, no shuffle of the exploded
+# frame), then ONE narrow shuffle — groupBy(doc_id) over (doc_id, hit)
+# pairs with map-side partial aggregation.  The explode never persists and
+# never shuffles; hot grams cannot skew anything because the join is
+# broadcast-probe, not key-partitioned.
+# =========================================================================
+@query(
+    "decontaminate_benchmark",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, {_words_sql("text")} AS ws FROM documents
+), shingles AS (
+  SELECT doc_id, s FROM {_shingles_sql("ws", 5)} sh
+), bench AS (
+  SELECT DISTINCT s FROM shingles WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT * FROM shingles WHERE doc_id % 97 <> 0
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       COUNT(*) AS n_grams,
+       CAST(COALESCE(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+       (SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) > 0) AS contaminated
+FROM corpus c LEFT JOIN bench b USING (s)
+GROUP BY 1
+""",
+    survey="decontamination,C1,D2,H-string",
+    gate=False,
+)
+def decontaminate_benchmark(spark, sf_dir):
+    """Per-corpus-doc contamination stats vs the benchmark gram set.
+
+    Docs shorter than 5 words produce no shingles and are out of scope on
+    both sides (nothing to match).  Gram sets are DISTINCT per doc
+    (``_shingles``), so ``n_hits``/``n_grams`` is the contaminated fraction
+    of the doc's distinct 5-grams.
+    """
+    w = _words_df(spark, sf_dir)
+    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"), n=5)).alias("s"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = sh.where(is_bench).select("s").distinct()
+    corpus = sh.where(~is_bench)
+    flagged = corpus.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "s", "left"
+    )
+    out = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )
