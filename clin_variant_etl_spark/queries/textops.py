@@ -296,7 +296,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     for b in range(N_BANDS):
         parts = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
         band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
-    bands = sigs.select("doc_id", *band_cols)
+    # Materialize the band frame ONCE (narrow: doc_id + N_BANDS hashes, one
+    # row per doc).  The signature aggregation above is the expensive pass,
+    # and the frame feeds THREE plan branches — the cap's count aggregate and
+    # both sides of the pair self-join; without this each branch re-runs the
+    # shingle explode + md5 minhash pass (the r3 +34% bench regression).
+    # localCheckpoint (not persist) so the blocks are reclaimed by the
+    # ContextCleaner when the frame is GC'd — no CacheManager entry outlives
+    # the query (the pack_chunks-leak lesson, VERDICT r3 "what's wrong" #2).
+    bands = sigs.select("doc_id", *band_cols).localCheckpoint(eager=True)
     exploded = bands.select(
         "doc_id",
         F.explode(
@@ -414,7 +422,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     survey="dedup-simhash,C2,D1,H-misc",
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    sims = _simhash_df(spark, sf_dir)
+    # materialize the signature frame ONCE (2 narrow columns, 1 row/doc):
+    # the word-explode + 16 bit-sum aggregation is the expensive pass and the
+    # frame feeds the cap count + both self-join sides (see dedup_minhash_lsh
+    # note on localCheckpoint vs persist)
+    sims = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
     bands = sims.select(
         "doc_id",
         "simhash",
