@@ -6,6 +6,27 @@
   registered in ``clin_variant_etl_spark/queries/``.
 - ``oracle_sql()``    — DuckDB-equivalent ANSI SQL per query (exact-match
   discipline documented in clin_variant_etl_spark/queries/registry.py).
+
+50-slot rotation policy (the driver records CORRECTNESS rows for the first
+50 registry entries; the registry therefore pins EXACTLY 50 ``gate=True``
+queries — see queries/registry.py DRIVER_GATE_CAP).  Queries beyond the cap
+are ``gate=False``: still benchable and hash-verified under the identical
+compare contract by tests/test_oracle_parity.py, just without a driver row
+THIS round.  Slots rotate so every query gets a driver row in some round:
+
+  round 4 state (this file is the authoritative rotation record):
+  - gated since r4 (never driver-checked in r1-r3):
+      multimodal_wav_decode, multimodal_frame_sample, pack_chunks,
+      decontaminate_benchmark, cdc_engine_mor_replay (new in r4)
+  - rotated OUT in r4 (driver rows green in r01-r03; every survey code
+    still covered by a gated sibling):
+      null_normalize_status, map_agg_source_counts, struct_mutation,
+      richest_customer_per_nation, dedup_simhash
+  - suite-only since r2/r3 (each a labeled baseline or a sibling of a
+    gated query covering the same survey rows):
+      embed_cosine_pairs (all-pairs baseline of embed_cosine_pairs_lsh),
+      brand_part_stats, orders_month_priority, customer_name_parse,
+      union_order_events
 """
 
 from __future__ import annotations

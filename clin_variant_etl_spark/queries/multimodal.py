@@ -112,10 +112,7 @@ FROM documents
 WHERE length(text) >= 1
 """,
     survey="A10,I2,I3,multimodal-decode",
-    # A10/I2/I3 rows are evidenced by the gated multimodal_decode_features;
-    # suite-only keeps the 50-slot driver gate stable while the exact-parity
-    # suite still hash-verifies this query every run
-    gate=False,
+    # gated since r4 (rotation: never driver-checked in r1-r3)
 )
 def multimodal_wav_decode(spark, sf_dir):
     """REAL codec decode through the A10 plumbing — no stub.
@@ -223,9 +220,7 @@ FROM m
 WHERE n_bytes >= 100
 """,
     survey="multimodal-framesample,H-array,B2",
-    # H-array/B2 evidenced by gated siblings (embedding_array_stats,
-    # ann_lsh_buckets, q1); suite-only keeps a driver slot free
-    gate=False,
+    # gated since r4 (rotation: never driver-checked in r1-r3)
 )
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: compute per-'video' frame offsets (every 100

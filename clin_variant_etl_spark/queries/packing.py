@@ -70,7 +70,12 @@ def _n_tok(ws_col):
     )
 
 
-@query("pack_chunks", oracle=_PACK_ORACLE, survey="pack-sequences,F1,D7,I3", gate=False)
+_PACK_SCHEMA = (
+    "doc_id long, n_tok long, start_off long, pack_first long, pack_last long, n_packs long"
+)
+
+
+@query("pack_chunks", oracle=_PACK_ORACLE, survey="pack-sequences,F1,D7,I3")
 def pack_chunks(spark, sf_dir):
     toks = (
         _words_df(spark, sf_dir)
@@ -78,15 +83,27 @@ def pack_chunks(spark, sf_dir):
         .where(F.col("n_tok") > 0)
     )
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    # localCheckpoint (NOT persist): the collected prefix offsets are only
+    # valid for the exact partition assignment that produced them, and
+    # repartitionByRange SAMPLES its split points — a cache-evicted persist
+    # could re-execute the exchange with re-sampled boundaries and silently
+    # shift every offset.  Checkpointing materializes the assignment once
+    # (recompute impossible), and the blocks are reclaimed by the
+    # ContextCleaner when the frame is GC'd — nothing outlives the query.
     ranged = (
         toks.repartitionByRange(n_parts, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     partials = {
         r["_pid"]: r["s"]
         for r in ranged.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
     }
+    if not partials:
+        # empty corpus: F.create_map() with no entries types as
+        # map<string,string>, so the int-keyed element_at below would fail at
+        # ANALYSIS — return the (empty) output frame directly instead
+        return spark.createDataFrame([], _PACK_SCHEMA)
     prefix: dict[int, int] = {}
     acc = 0
     for pid in sorted(partials):

@@ -333,6 +333,10 @@ QUALIFY row_number() OVER (PARTITION BY c_nationkey
                            ORDER BY c_acctbal DESC, c_custkey ASC) = 1
 """,
     survey="D6,E1,E5",
+    # rotated out of the driver gate in r4 (driver rows r01-r03 green;
+    # survey codes stay covered by gated siblings) to free a slot for a
+    # never-gated query -- see __spark_entry__.py rotation table
+    gate=False,
 )
 def richest_customer_per_nation(spark, sf_dir):
     from pyspark.sql import Window as W

@@ -383,7 +383,16 @@ def _simhash_df(spark, sf_dir):
     )
 
 
-@query("dedup_simhash", oracle=_SIMHASH_ORACLE, survey="dedup-simhash,D1,H-string,B4")
+@query(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    survey="dedup-simhash,D1,H-string,B4",
+    # rotated out of the driver gate in r4 (driver rows r01-r03 green; every
+    # survey code covered by the gated dedup_simhash_pairs / q1 / part_type_
+    # tokens) to free the slot for cdc_engine_mor_replay — see
+    # __spark_entry__.py rotation table
+    gate=False,
+)
 def dedup_simhash(spark, sf_dir):
     return _simhash_df(spark, sf_dir)
 
@@ -651,7 +660,7 @@ FROM corpus c LEFT JOIN bench b USING (s)
 GROUP BY 1
 """,
     survey="decontamination,C1,D2,H-string",
-    gate=False,
+    # gated since r4 (rotation: never driver-checked in r1-r3)
 )
 def decontaminate_benchmark(spark, sf_dir):
     """Per-corpus-doc contamination stats vs the benchmark gram set.

