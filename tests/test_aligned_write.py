@@ -75,3 +75,62 @@ def test_aligned_replay_matches_oracle_mismatched_shuffle(spark):
         assert set(per_bucket.values()) == {1}, per_bucket
 
     assert_state_equals(pipe.read_state(), replay_oracle(tbl.to_pandas()))
+
+
+def test_pmod_multiple_keeps_alignment(spark):
+    """The parallelism guard repartitions into k·n_buckets when the table has
+    fewer buckets than cores; pid = pmod(h, k·n) still implies
+    pid mod n = pmod(h, n), so each task holds exactly one bucket value."""
+    from clin_variant_etl_spark.lake.table import PartitionField
+
+    n, k = 3, 2
+    df = spark.range(5000).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("doc_id")
+    )
+    pf = PartitionField("bucket", "doc_id", "bucket_m3", n)
+    bad = (
+        df.repartition(n * k, "doc_id")
+        .select(
+            (F.spark_partition_id() % n).alias("pid_mod"),
+            pf.expr().cast("int").alias("bucket"),
+        )
+        .where(F.col("pid_mod") != F.col("bucket"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_aligned_replay_few_buckets_wide_cluster(spark):
+    """n_buckets below cluster parallelism: the guard widens the merge to
+    k·n_buckets tasks; alignment (≤k files per bucket, each file one bucket)
+    and exact state both hold."""
+    from clin_variant_etl_spark.engine import CdcPipeline, create_cdc_table
+    from clin_variant_etl_spark.engine.oracle import assert_state_equals, replay_oracle
+    from clin_variant_etl_spark.schemas import BASE_DOCS_SCHEMA
+    from clin_variant_etl_spark.testgen import (
+        EventGenConfig,
+        generate_change_events,
+        write_events_by_epoch,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    n_b = 2
+    assert n_b < par
+    k = -(-par // n_b)
+    root = tempfile.mkdtemp(prefix="aligned_few_")
+    cfg = EventGenConfig(n_docs=200, n_events=2500, n_epochs=3, seed=11)
+    tbl = generate_change_events(cfg)
+    ev_dir = os.path.join(root, "events")
+    write_events_by_epoch(tbl, ev_dir, 1)
+    tpath = os.path.join(root, "table")
+    create_cdc_table(tpath, BASE_DOCS_SCHEMA, n_buckets=n_b)
+    pipe = CdcPipeline(spark, tpath, n_salts=2)
+    for ep in range(cfg.n_epochs):
+        df = spark.read.parquet(os.path.join(ev_dir, f"epoch={ep}"))
+        pipe.apply_epoch(df, ep)
+    per_bucket: dict[str, int] = {}
+    for f in pipe.table.current_snapshot().files:
+        b = f["partition"]["bucket"]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert per_bucket and all(1 <= c <= k for c in per_bucket.values()), per_bucket
+    assert_state_equals(pipe.read_state(), replay_oracle(tbl.to_pandas()))
