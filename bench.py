@@ -134,7 +134,13 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
             collect_part_stats=os.environ.get("SPARK_GRAFT_BENCH_PART_STATS", "0") == "1",
             # scaling-protocol A/B: measure either dedup variant
             dedup_variant=os.environ.get("SPARK_GRAFT_BENCH_DEDUP_VARIANT", "join"),
+            # copy-on-write (default) vs merge-on-read delta apply
+            apply_mode=os.environ.get("SPARK_GRAFT_BENCH_APPLY_MODE", "cow"),
         )
+        # mor production posture: fold deltas into base every k epochs
+        # (0 = never); the fold time lands INSIDE the measured window —
+        # throughput numbers include the maintenance cost they depend on
+        compact_every = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_EVERY", "0"))
         # epoch 0 is JVM/codegen warmup — applied but excluded from the
         # measured window (identical treatment at every parallelism level).
         # SPARK_GRAFT_BENCH_EPOCH_GROUP=k merges k source epoch-dirs into one
@@ -162,6 +168,16 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
             if show_phases:
                 phase_log.append({"epoch": ep, **(res.phase_ms or {})})
                 sys.stderr.write(f"PHASES epoch={ep}: {res.phase_ms}\n")
+            if compact_every and (ep + 1) % compact_every == 0:
+                from clin_variant_etl_spark.lake.maintenance import compact
+                from clin_variant_etl_spark.schemas import INTERNAL_LAST_LSN
+
+                t_c = time.monotonic()
+                compact(spark, pipe.table, resolve_keep_latest=("doc_id", INTERNAL_LAST_LSN))
+                if show_phases:
+                    sys.stderr.write(
+                        f"COMPACT after epoch={ep}: {time.monotonic() - t_c:.2f}s\n"
+                    )
         apply_s = time.monotonic() - (t0 or time.monotonic())
         return {
             "events": total_events,

@@ -8,6 +8,24 @@ The pipeline per epoch (SURVEY.md §7.2 step 3-8):
          ──▶ rewrite touched buckets + atomic snapshot commit        [exactly-once]
          ──▶ lineage + checkpoint rows                               [observability]
 
+Two apply modes (``CdcPipeline(apply_mode=…)``), identical semantics and
+lineage counts, different physical write:
+
+- ``"cow"`` (copy-on-write, the default): the full-outer merge above —
+  touched buckets are REWRITTEN each epoch.  Read path is a plain scan.
+  At a 100-TB table where a uniform-keyed 10^8-event epoch touches every
+  bucket, the whole table is rewritten per epoch (carry rows dominate) —
+  the reference shares this property (Delta CoW MERGE,
+  etl/conf/EtlConfiguration.scala:47,52), but it is the real 100× ceiling.
+- ``"mor"`` (merge-on-read): the per-epoch net change (≤1 row/key, already
+  computed by the dedup) is classified against a NARROW prior-state probe
+  (key + lsn + tombstone only — the token payload of the existing table is
+  never read, never shuffled, never rewritten) and committed as *delta
+  files* appended to the touched buckets.  Write cost ∝ epoch delta, not
+  table size.  Readers resolve base+delta with the same keep-max-LSN rule
+  (``read_state``), and ``lake.maintenance.compact(resolve_keep_latest=…)``
+  folds deltas back into base files out-of-band.
+
 Exactly-once: the epoch gate (``last_epoch_id``) lives in the *data table's*
 snapshot properties, so gate-update and data-commit are one atomic operation —
 a foreachBatch retry of an already-committed epoch is a no-op (reference
@@ -108,11 +126,17 @@ class CdcPipeline:
         collect_part_stats: bool = False,
         dedup_variant: str = "join",
         debug_checks: bool = False,
+        apply_mode: str = "cow",
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
         self.key_col = key_col
         self.n_salts = n_salts
+        # "cow": rewrite touched buckets per epoch (module docstring);
+        # "mor": append per-epoch net-change delta files, resolve at read.
+        if apply_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown apply_mode {apply_mode!r}")
+        self.apply_mode = apply_mode
         # "join" (default): numeric-only winner aggregation + slim payload
         #   join — all HashAggregate, skew spread over (key, lsn);
         # "salted": two-phase max_by(struct) — one pass over the payload but
@@ -159,8 +183,22 @@ class CdcPipeline:
 
     # ------------------------------------------------------------------ read
     def read_state(self, snapshot_id: int | None = None) -> DataFrame:
-        """Current (or time-traveled) visible state: tombstones + internals hidden."""
+        """Current (or time-traveled) visible state: tombstones + internals hidden.
+
+        On a merge-on-read table the scan may hold several versions of a key
+        (base + appended delta files); the visible state is the keep-max-LSN
+        resolution — the same rule the CoW merge applies at write time.  The
+        resolve is applied whenever the pipeline runs in mor mode OR the
+        snapshot says deltas may exist (``mor`` property, stamped by every
+        mor commit); it is a semantic no-op on a 1-row-per-key table, so a
+        safety-resolve after compaction costs only the aggregation.
+        """
         df = self.table.read(self.spark, snapshot_id=snapshot_id)
+        snap = (
+            self.table.snapshot(snapshot_id) if snapshot_id else self.table.current_snapshot()
+        )
+        if self.apply_mode == "mor" or snap.properties.get("mor") == "1":
+            df = latest_by_key_salted(df, self.key_col, INTERNAL_LAST_LSN, self.n_salts)
         df = df.where(~F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)))
         return df.drop(INTERNAL_LAST_LSN, INTERNAL_DELETED)
 
@@ -334,91 +372,152 @@ class CdcPipeline:
 
             pfilter = {BUCKET_PARTITION: set(affected)} if spec else None
 
-            # ---- LSN-guarded resolve (full outer join on the key) + rewrite.
-            # Classification stats are `observe`d on the SAME plan, so the
-            # merge write is the only action — no separate stats job.
-            target = self.table.read(self.spark, partition_filter=pfilter)
-            target = _align(target, new_schema.fields)
             # ---- bucket-aligned merge: with a bucket_m3 spec on the key,
-            # hash-partitioning BOTH join inputs on the key into exactly
-            # n_buckets partitions makes the join run co-partitioned (no
-            # extra exchange) AND leaves its output physically grouped by
-            # bucket — pmod(murmur3(key), n) is precisely the partition id
-            # repartition(n, key) assigns.  The write then skips its own
-            # repartition of the merged table (the widest frame of the
-            # epoch: every payload column incl. token arrays) — one full
-            # shuffle less per epoch.  Misalignment is impossible by
-            # construction, and partitionBy routes by value anyway.
+            # hash-partitioning BOTH join inputs on the key into k·n_buckets
+            # partitions makes the join run co-partitioned (no extra
+            # exchange) AND leaves its output physically grouped by bucket —
+            # pmod(murmur3(key), k·n) mod n is precisely pmod(murmur3(key),
+            # n), the bucket value.  The write then skips its own
+            # repartition of the output frame — one full shuffle less per
+            # epoch.  Misalignment is impossible by construction, and
+            # partitionBy routes by value anyway.
+            # Parallelism guard (ADVICE r3): k = ceil(parallelism /
+            # n_buckets), so every task still holds exactly ONE bucket value
+            # (k files per bucket per epoch instead of 1, folded by
+            # compaction) while the merge join uses at least
+            # cluster-parallelism tasks even on few-bucket tables.
             aligned = (
                 len(spec) == 1
                 and spec[0].transform == "bucket_m3"
                 and spec[0].source_col == self.key_col
             )
+            n_parts = 0
             if aligned:
                 n_b = spec[0].n
-                # Parallelism guard (ADVICE r3): partitioning into exactly
-                # n_buckets pins the widest stage's task count to the
-                # table's bucket count.  Repartitioning into k·n_buckets (a
-                # MULTIPLE of n_buckets, k = ceil(parallelism / n_buckets))
-                # keeps the alignment identity — pid = pmod(h, k·n) implies
-                # pid mod n = pmod(h, n), so every task still holds exactly
-                # ONE bucket value (k files per bucket per epoch instead of
-                # 1, folded by compaction) — while the merge join uses at
-                # least cluster-parallelism tasks even on few-bucket tables.
                 par = self.spark.sparkContext.defaultParallelism
                 n_parts = n_b * max(1, -(-par // n_b))
-                net_j = net.repartition(n_parts, self.key_col)
-                target = target.repartition(n_parts, self.key_col)
-            else:
-                net_j = net
-            s, t = net_j.alias("s"), target.alias("t")
-            joined = s.join(
-                t, F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"), "full_outer"
-            )
-            s_lsn = F.col("s.lsn")
-            t_lsn = F.col(f"t.{INTERNAL_LAST_LSN}")
-            is_delete = F.col("s.op") == "D"
-            t_absent = F.col(f"t.{self.key_col}").isNull() | F.coalesce(
-                F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)
-            )
-            is_event = s_lsn.isNotNull()
-            event_wins = is_event & (t_lsn.isNull() | (s_lsn > t_lsn))
-            action = (
-                F.when(~is_event, F.lit("carry"))
-                .when(~event_wins & (s_lsn == t_lsn), F.lit("dup"))
-                .when(~event_wins, F.lit("stale"))
-                .when(is_delete, F.lit("delete"))
-                .when(t_absent, F.lit("insert"))
-                .otherwise(F.lit("update"))
-            )
-            out_cols = [
-                F.coalesce(F.col(f"s.{self.key_col}"), F.col(f"t.{self.key_col}")).alias(
-                    self.key_col
-                )
-            ]
-            for c in payload_cols:
-                out_cols.append(
-                    F.when(event_wins & is_delete, F.lit(None).cast(merged_payload[c].dataType))
-                    .when(event_wins, F.col(f"s.{c}"))
-                    .otherwise(F.col(f"t.{c}"))
-                    .alias(c)
-                )
-            out_cols.append(
-                F.when(event_wins, s_lsn).otherwise(t_lsn).alias(INTERNAL_LAST_LSN)
-            )
-            out_cols.append(
-                F.when(event_wins, is_delete)
-                .otherwise(F.coalesce(F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)))
-                .alias(INTERNAL_DELETED)
-            )
-            merged = joined.select(*out_cols, action.alias("_action"))
 
             obs_cls = Observation(f"cls-{epoch_id}")
             counters = [
                 F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
                 for a in ("insert", "update", "delete", "dup", "stale")
             ]
-            merged = merged.observe(obs_cls, *counters).drop("_action")
+
+            if self.apply_mode == "mor":
+                # ---- merge-on-read: classify the net change against a
+                # NARROW prior-state probe and append only the winning rows
+                # as delta files.  The probe reads 3 columns (key, lsn,
+                # tombstone) of the touched buckets — column pruning keeps
+                # the token payload of the existing table out of the scan,
+                # the shuffle and the write entirely; only the epoch's own
+                # ≤1-row-per-key net change is ever written.  Resolution to
+                # visible state happens at read (read_state) and deltas are
+                # folded by maintenance.compact(resolve_keep_latest=…).
+                narrow = self.table.read(self.spark, partition_filter=pfilter).select(
+                    F.col(self.key_col), F.col(INTERNAL_LAST_LSN), F.col(INTERNAL_DELETED)
+                )
+                if aligned:
+                    # hash(key, k·n_buckets) satisfies the groupBy's
+                    # clustering requirement, so the resolve aggregation
+                    # reuses this exchange and its output stays
+                    # co-partitioned with net_j below — the classify join
+                    # adds NO exchange and the delta write is aligned.
+                    narrow = narrow.repartition(n_parts, self.key_col)
+                    net_j = net.repartition(n_parts, self.key_col)
+                else:
+                    net_j = net
+                # prior visible version per key: max-lsn row wins (numeric
+                # max_by — HashAggregate; ties are impossible because a
+                # delta is only appended when it strictly beats the prior)
+                prior = narrow.groupBy(self.key_col).agg(
+                    F.max(INTERNAL_LAST_LSN).alias("_p_lsn"),
+                    F.max_by(
+                        F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)),
+                        F.col(INTERNAL_LAST_LSN),
+                    ).alias("_p_del"),
+                )
+                joined = net_j.join(prior, self.key_col, "left")
+                s_lsn = F.col("lsn")
+                p_lsn = F.col("_p_lsn")
+                is_delete = F.col("op") == "D"
+                t_absent = p_lsn.isNull() | F.col("_p_del")
+                event_wins = p_lsn.isNull() | (s_lsn > p_lsn)
+                action = (
+                    F.when(~event_wins & (s_lsn == p_lsn), F.lit("dup"))
+                    .when(~event_wins, F.lit("stale"))
+                    .when(is_delete, F.lit("delete"))
+                    .when(t_absent, F.lit("insert"))
+                    .otherwise(F.lit("update"))
+                )
+                out_cols = [F.col(self.key_col)]
+                for c in payload_cols:
+                    out_cols.append(
+                        F.when(is_delete, F.lit(None).cast(merged_payload[c].dataType))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                out_cols.append(s_lsn.alias(INTERNAL_LAST_LSN))
+                out_cols.append(is_delete.alias(INTERNAL_DELETED))
+                merged = (
+                    joined.select(*out_cols, action.alias("_action"))
+                    .observe(obs_cls, *counters)
+                    .where(~F.col("_action").isin("dup", "stale"))
+                    .drop("_action")
+                )
+            else:
+                # ---- copy-on-write: LSN-guarded resolve (full outer join on
+                # the key) + rewrite of the touched buckets.  Classification
+                # stats are `observe`d on the SAME plan, so the merge write
+                # is the only action — no separate stats job.
+                target = self.table.read(self.spark, partition_filter=pfilter)
+                target = _align(target, new_schema.fields)
+                if aligned:
+                    net_j = net.repartition(n_parts, self.key_col)
+                    target = target.repartition(n_parts, self.key_col)
+                else:
+                    net_j = net
+                s, t = net_j.alias("s"), target.alias("t")
+                joined = s.join(
+                    t, F.col(f"s.{self.key_col}") == F.col(f"t.{self.key_col}"), "full_outer"
+                )
+                s_lsn = F.col("s.lsn")
+                t_lsn = F.col(f"t.{INTERNAL_LAST_LSN}")
+                is_delete = F.col("s.op") == "D"
+                t_absent = F.col(f"t.{self.key_col}").isNull() | F.coalesce(
+                    F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)
+                )
+                is_event = s_lsn.isNotNull()
+                event_wins = is_event & (t_lsn.isNull() | (s_lsn > t_lsn))
+                action = (
+                    F.when(~is_event, F.lit("carry"))
+                    .when(~event_wins & (s_lsn == t_lsn), F.lit("dup"))
+                    .when(~event_wins, F.lit("stale"))
+                    .when(is_delete, F.lit("delete"))
+                    .when(t_absent, F.lit("insert"))
+                    .otherwise(F.lit("update"))
+                )
+                out_cols = [
+                    F.coalesce(F.col(f"s.{self.key_col}"), F.col(f"t.{self.key_col}")).alias(
+                        self.key_col
+                    )
+                ]
+                for c in payload_cols:
+                    out_cols.append(
+                        F.when(event_wins & is_delete, F.lit(None).cast(merged_payload[c].dataType))
+                        .when(event_wins, F.col(f"s.{c}"))
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                    )
+                out_cols.append(
+                    F.when(event_wins, s_lsn).otherwise(t_lsn).alias(INTERNAL_LAST_LSN)
+                )
+                out_cols.append(
+                    F.when(event_wins, is_delete)
+                    .otherwise(F.coalesce(F.col(f"t.{INTERNAL_DELETED}"), F.lit(False)))
+                    .alias(INTERNAL_DELETED)
+                )
+                merged = joined.select(*out_cols, action.alias("_action"))
+                merged = merged.observe(obs_cls, *counters).drop("_action")
 
             files = self.table.write_data_files(
                 merged,
@@ -429,6 +528,9 @@ class CdcPipeline:
                 stats_cols=(INTERNAL_LAST_LSN,) if self.collect_part_stats else (),
                 aligned=aligned,
             )
+            if self.apply_mode == "mor":
+                for e in files:
+                    e["delta"] = True  # observability: delta vs base files
             if self.collect_part_stats:
                 part_rows = [
                     {
@@ -452,16 +554,31 @@ class CdcPipeline:
                 h.unpersist()
 
         props = {"last_epoch_id": str(epoch_id), "epoch_id": str(epoch_id)}
+        if self.apply_mode == "mor":
+            # stamp the snapshot so ANY reader (not just this pipeline
+            # object) knows the table may hold unresolved deltas
+            props["mor"] = "1"
         try:
-            new_snap = self.table.commit(
-                "merge",
-                files,
-                replace_partitions=[{BUCKET_PARTITION: b} for b in affected] if spec else None,
-                replace_all=not spec,
-                new_schema=new_schema if evolved else None,
-                properties=props,
-                expected_parent=snap.snapshot_id,
-            )
+            if self.apply_mode == "mor":
+                # append-only: base and earlier delta files stay by
+                # reference — commit work ∝ changed buckets' NEW shards only
+                new_snap = self.table.commit(
+                    "mor-append",
+                    files,
+                    new_schema=new_schema if evolved else None,
+                    properties=props,
+                    expected_parent=snap.snapshot_id,
+                )
+            else:
+                new_snap = self.table.commit(
+                    "merge",
+                    files,
+                    replace_partitions=[{BUCKET_PARTITION: b} for b in affected] if spec else None,
+                    replace_all=not spec,
+                    new_schema=new_schema if evolved else None,
+                    properties=props,
+                    expected_parent=snap.snapshot_id,
+                )
         except CommitConflict:
             # someone else moved the table; if they committed our epoch the
             # replay rule applies, otherwise surface the conflict

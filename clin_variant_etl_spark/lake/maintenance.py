@@ -25,6 +25,7 @@ def compact(
     min_input_files: int = 2,
     partitions: list[str] | None = None,
     at_snapshot_id: int | None = None,
+    resolve_keep_latest: tuple[str, str] | None = None,
 ) -> Snapshot:
     """Small-files compaction with bin-packing and per-partition selection.
 
@@ -45,6 +46,16 @@ def compact(
     ``drop_tombstones=True`` drops them all (caller asserts the stream is
     fully drained forever).  Tombstone dropping changes row content, so it
     forces a FULL rewrite (every partition may hold tombstones).
+
+    ``resolve_keep_latest=(key_col, lsn_col)`` folds MERGE-ON-READ delta
+    files into base: before rewriting, rows are resolved to the max-lsn
+    version per key (the same rule ``CdcPipeline.read_state`` applies) so
+    each rewritten partition holds ≤1 row per key again.  Valid per
+    partition because a hash-bucketed key lives in exactly one bucket;
+    REQUIRED when compacting a table written with
+    ``CdcPipeline(apply_mode="mor")`` — compacting such a table without it
+    would materialize superseded versions side-by-side as base rows (they
+    would still resolve correctly at read, but the fold is the point).
 
     Concurrency: the whole rewrite is pinned to ONE snapshot — partition
     selection, the data read, and the commit's ``expected_parent`` all use
@@ -82,6 +93,18 @@ def compact(
         replace = [{spec[0].name: p} for p in selected]
 
     df = table.read(spark, snapshot_id=snap.snapshot_id, partition_filter=pfilter)
+    if resolve_keep_latest is not None:
+        # keep-max-lsn per key (mor delta fold) — inline max_by(struct)
+        # (engine.dedup has richer variants, but lake/ must not import
+        # engine/); resolve BEFORE tombstone filtering so a tombstone only
+        # survives if it is the key's latest version
+        k_col, l_col = resolve_keep_latest
+        others = [c for c in df.columns if c != k_col]
+        df = (
+            df.groupBy(k_col)
+            .agg(F.max_by(F.struct(*others), F.col(l_col)).alias("_w"))
+            .select(F.col(k_col), *[F.col(f"_w.{c}").alias(c) for c in others])
+        )
     if drop_tombstones and deleted_col in df.columns:
         dead = F.coalesce(df[deleted_col], F.lit(False))
         if lsn_horizon is not None and lsn_col in df.columns:

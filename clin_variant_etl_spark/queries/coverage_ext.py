@@ -485,3 +485,64 @@ def cdc_engine_full_replay(spark, sf_dir):
         batch = ev.where(F.pmod(F.col("lsn"), F.lit(4)) == epoch)
         pipe.apply_epoch(batch, epoch)
     return pipe.read_state()
+
+
+@query(
+    "cdc_engine_mor_replay",
+    oracle="""
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS last_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+   AND event_type <> 'error'
+""",
+    survey="engine,A5,A7,E1,J2,J4,J6,D9,F1,mor",
+    # gated since r4 (new operator: merge-on-read delta apply)
+)
+def cdc_engine_mor_replay(spark, sf_dir):
+    """The same interleaved-LSN replay as ``cdc_engine_full_replay`` but
+    through the MERGE-ON-READ apply mode: each epoch appends only its net
+    change as delta files (the existing payload is never read or rewritten),
+    a mid-replay ``compact(resolve_keep_latest=…)`` folds deltas into base
+    exactly as production maintenance would, and ``read_state`` resolves
+    base+delta by keep-max-LSN.  Final visible state must be byte-identical
+    to the CoW path and to the SQL oracle (engine/apply.py module docstring;
+    reference ceiling analogue: Delta CoW MERGE,
+    etl/conf/EtlConfiguration.scala:47,52)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..engine.apply import CdcPipeline, create_cdc_table
+    from ..lake.maintenance import compact
+    from ..schemas import INTERNAL_LAST_LSN
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("last_type", T.StringType(), True),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_s", T.StringType(), True),
+        ]
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("last_type"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_mor_q_")
+    tpath = f"{tmp}/table"
+    create_cdc_table(tpath, payload_schema, n_buckets=8)
+    pipe = CdcPipeline(spark, tpath, n_salts=4, apply_mode="mor")
+    for epoch in range(4):
+        batch = ev.where(F.pmod(F.col("lsn"), F.lit(4)) == epoch)
+        pipe.apply_epoch(batch, epoch)
+        if epoch == 1:
+            compact(spark, pipe.table, resolve_keep_latest=("doc_id", INTERNAL_LAST_LSN))
+    return pipe.read_state()

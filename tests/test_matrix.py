@@ -41,8 +41,9 @@ PLACEMENTS = {
 }
 
 
+@pytest.mark.parametrize("apply_mode", ["cow", "mor"])
 @pytest.mark.parametrize("placement", sorted(PLACEMENTS))
-def test_matrix(spark, tmp_path, placement):
+def test_matrix(spark, tmp_path, placement, apply_mode):
     place = PLACEMENTS[placement]
     # unique doc per (case); lsns offset per case so the global order is per-key only
     events = []  # (epoch, lsn, op, doc_id, tokens)
@@ -55,7 +56,7 @@ def test_matrix(spark, tmp_path, placement):
         expected[doc] = want
 
     create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
-    pipe = CdcPipeline(spark, str(tmp_path / "docs"))
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), apply_mode=apply_mode)
     for k, epoch in enumerate(sorted({e[0] for e in events})):
         rows = [
             (lsn, op, doc, toks, len(toks) if toks else None, "web" if toks else None)
