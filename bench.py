@@ -63,7 +63,9 @@ def reexec_with_malloc_tuning() -> None:
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
-def gen_events(n_events: int, out_dir: str, files_per_epoch: int, n_epochs: int = 6) -> float:
+def gen_events(
+    n_events: int, out_dir: str, files_per_epoch: int, n_epochs: int = 6, n_docs: int | None = None
+) -> float:
     """Generate the deterministic CDC event log (seed 42) into out_dir."""
     from clin_variant_etl_spark.testgen import (
         EventGenConfig,
@@ -72,7 +74,7 @@ def gen_events(n_events: int, out_dir: str, files_per_epoch: int, n_epochs: int 
     )
 
     cfg = EventGenConfig(
-        n_docs=max(1000, n_events // 20),
+        n_docs=n_docs or max(1000, n_events // 20),
         n_events=n_events,
         n_epochs=n_epochs,
         dup_rate=0.05,
@@ -102,15 +104,25 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
         if pre and os.path.isdir(pre):
             ev_dir, gen_s = pre, 0.0
         else:
+            # key-space / epoch-count knobs (write-amplification comparisons
+            # need a table much larger than one epoch's delta)
+            n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "0")) or None
+            n_ep = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "6"))
             # cache key carries the file layout version (rg32 = 32k-row row
             # groups, splittable) so layout changes invalidate old caches
-            cache = f"/tmp/spark_graft_bench_events_{n_events}_{n_cpus}_rg32"
+            cache = (
+                f"/tmp/spark_graft_bench_events_{n_events}_{n_cpus}_rg32"
+                + (f"_d{n_docs}" if n_docs else "")
+                + (f"_e{n_ep}" if n_ep != 6 else "")
+            )
             done = os.path.join(cache, "_GEN_DONE")
             if os.path.exists(done):
                 ev_dir, gen_s = cache, 0.0
             else:
                 shutil.rmtree(cache, ignore_errors=True)
-                gen_s = gen_events(n_events, cache, files_per_epoch=n_cpus)
+                gen_s = gen_events(
+                    n_events, cache, files_per_epoch=n_cpus, n_epochs=n_ep, n_docs=n_docs
+                )
                 with open(done, "w") as fh:
                     fh.write("ok")
                 ev_dir = cache
