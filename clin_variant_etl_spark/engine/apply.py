@@ -52,6 +52,7 @@ from ..schemas import (
     INTERNAL_DELETED,
     INTERNAL_LAST_LSN,
     LINEAGE_SCHEMA,
+    align_frame,
     merge_schemas,
     same_shape,
 )
@@ -87,13 +88,9 @@ def create_cdc_table(
 
 
 def _align(df: DataFrame, fields) -> DataFrame:
-    have = {f.name for f in df.schema.fields}
-    return df.select(
-        *[
-            (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in fields
-        ]
-    )
+    # nested-aware alignment (missing nested fields → typed nulls) so an
+    # epoch can add a field INSIDE an array<struct> column mid-stream
+    return align_frame(df, T.StructType(list(fields)))
 
 
 @dataclass

@@ -146,19 +146,36 @@ def latest_by_key_join(
     """
     if check_payload_consistency:
         assert_payload_consistency(df, key, order_col)
-    src = stats_df if stats_df is not None else df
-    w = src.groupBy(key).agg(
-        F.max(order_col).alias("_win"),
-        F.count(F.lit(1)).alias("_cnt"),
-        F.countDistinct(order_col).alias("_dst"),
-    )
-    win = w.select(F.col(key), F.col("_win").alias(order_col), "_cnt", "_dst")
+    win = _winner_frame(df, key, order_col, stats_df)
     if broadcast_max_rows is not None:
         win = win.persist()
         if cleanup is not None:
             cleanup.append(win)
         if win.count() <= broadcast_max_rows:
             win = F.broadcast(win)
+    return _winner_join_tail(df, win, key, order_col, count_col, distinct_col)
+
+
+def _winner_frame(df: DataFrame, key: str, order_col: str, stats_df: DataFrame | None):
+    """Slim numeric winner aggregate: (key, winning order value, fold count,
+    distinct count) — 4 narrow columns, HashAggregate all the way."""
+    src = stats_df if stats_df is not None else df
+    w = src.groupBy(key).agg(
+        F.max(order_col).alias("_win"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct(order_col).alias("_dst"),
+    )
+    return w.select(F.col(key), F.col("_win").alias(order_col), "_cnt", "_dst")
+
+
+def _winner_join_tail(
+    df: DataFrame,
+    win,
+    key: str,
+    order_col: str,
+    count_col: str | None,
+    distinct_col: str | None,
+) -> DataFrame:
     out = df.join(win, [key, order_col]).dropDuplicates([key])
     keep = [c for c in df.columns]
     if count_col:
@@ -168,6 +185,88 @@ def latest_by_key_join(
         out = out.withColumn(distinct_col, F.col("_dst"))
         keep.append(distinct_col)
     return out.select(*keep)
+
+
+def latest_by_key_auto(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    *,
+    n_salts: int = 8,
+    count_col: str | None = None,
+    distinct_col: str | None = None,
+    stats_df: DataFrame | None = None,
+    check_payload_consistency: bool = False,
+    broadcast_max_rows: int | None = 4_000_000,
+    cleanup: list | None = None,
+    estimate: int | None = None,
+    chosen: dict | None = None,
+) -> DataFrame:
+    """Cost-model selection between the join and salted variants.
+
+    The join variant's advantage is structural ONLY while the winner set
+    fits a broadcast: then the payload never shuffles at all (map-side hash
+    probe in source partitioning).  Once winners exceed the broadcast
+    threshold the join plan degrades to TWO passes over the event batch
+    (slim aggregate branch + payload join branch) plus a shuffle of a huge
+    winner frame — while the salted two-phase ``max_by`` does ONE pass and
+    ONE shuffle.  So the policy pivots on the measured winner count, not on
+    configuration:
+
+    1. ``estimate`` (the previous epoch's net-change count, free from
+       lineage) > 2× threshold → go salted immediately, skipping the probe
+       aggregate entirely (hysteresis factor 2 absorbs epoch-to-epoch
+       drift; a shrinking stream re-probes once the estimate halves).
+    2. otherwise run the slim winner aggregate and COUNT it (the same probe
+       the join variant needs for its broadcast decision anyway):
+       winners ≤ threshold → broadcast join (payload unshuffled),
+       winners > threshold → salted single-pass over the payload (the probe
+       cost is one numeric HashAggregate — pennies next to the payload pass
+       it avoids repeating).
+
+    ``chosen`` (optional dict) reports ``variant`` ("join" | "salted"),
+    ``probed`` and ``n_winners`` for observability/tests.
+    """
+    report = chosen if chosen is not None else {}
+    if check_payload_consistency:
+        assert_payload_consistency(df, key, order_col)
+    if (
+        estimate is not None
+        and broadcast_max_rows is not None
+        and estimate > 2 * broadcast_max_rows
+    ):
+        # history says winners cannot fit a broadcast: single payload pass,
+        # stats ride the salted aggregation (no probe job at all)
+        report.update({"variant": "salted", "probed": False, "n_winners": None})
+        return latest_by_key_salted(
+            stats_df if stats_df is not None else df,
+            key,
+            order_col,
+            n_salts,
+            count_col=count_col,
+            distinct_col=distinct_col,
+        )
+    if broadcast_max_rows is None:
+        # probe disabled: shuffle join, same as latest_by_key_join(None)
+        report.update({"variant": "join", "probed": False, "n_winners": None})
+        win = _winner_frame(df, key, order_col, stats_df)
+        return _winner_join_tail(df, win, key, order_col, count_col, distinct_col)
+    win = _winner_frame(df, key, order_col, stats_df).persist()
+    if cleanup is not None:
+        cleanup.append(win)
+    n_winners = win.count()
+    if n_winners <= broadcast_max_rows:
+        report.update({"variant": "join", "probed": True, "n_winners": n_winners})
+        return _winner_join_tail(
+            df, F.broadcast(win), key, order_col, count_col, distinct_col
+        )
+    # winners won't fit a broadcast — salted single pass over the payload.
+    # The probe job already fired any observation attached to ``stats_df``,
+    # so the salted pass runs over the raw frame (metrics are not re-billed).
+    report.update({"variant": "salted", "probed": True, "n_winners": n_winners})
+    return latest_by_key_salted(
+        df, key, order_col, n_salts, count_col=count_col, distinct_col=distinct_col
+    )
 
 
 def latest_by_key_pandas(df: DataFrame, key: str, order_col: str) -> DataFrame:

@@ -52,6 +52,7 @@ from dataclasses import dataclass, field
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..schemas import align_frame
 from .fsio import CommitConflict, FileIO, LocalFileIO  # noqa: F401 (re-export)
 
 _DEFAULT_IO = LocalFileIO()
@@ -715,12 +716,9 @@ class LakeTable:
                 .parquet(*paths)
             )
             if src_schema != cur:
-                have = {f.name for f in src_schema.fields}
-                cols = [
-                    (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in cur.fields
-                ]
-                df = df.select(*cols)
+                # nested-aware: additions inside array<struct>/map values get
+                # typed nulls (plain struct casts would fail on field count)
+                df = align_frame(df, cur)
             else:
                 df = df.select(*[f.name for f in cur.fields])
             parts.append(df)

@@ -144,3 +144,63 @@ def merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType
         return T.StructType(out)
 
     return _merge_struct(current, incoming, "$")
+
+
+def align_expr(col, src: T.DataType, dst: T.DataType):
+    """Expression aligning a value of type ``src`` to type ``dst``.
+
+    A plain ``.cast()`` cannot express evolution INSIDE nested types: Spark
+    struct casts require equal field counts, so adding a field inside an
+    ``array<struct<…>>`` (the reference's RenameServiceRequestColumns shape,
+    etl/script/RenameServiceRequestColumns.scala:40-78) would fail at
+    analysis on every pre-evolution file.  This builder recurses instead:
+
+    - identical types pass through untouched (no-op column);
+    - structs are rebuilt field-by-field — fields missing in ``src`` become
+      typed nulls, outer NULL structs stay NULL (``when(isNotNull)`` guard);
+    - arrays recurse through ``transform`` (NULL arrays stay NULL for free);
+    - map values recurse through ``transform_values`` (map KEYS never evolve
+      — ``merge_schemas`` would have raised);
+    - everything else takes the sanctioned widening cast.
+
+    ``merge_schemas`` is the gatekeeper: it only ever produces ``dst`` types
+    this function can realize from ``src`` (supersets + widenings).
+    """
+    from pyspark.sql import functions as F
+
+    if src.simpleString() == dst.simpleString():
+        return col
+    if isinstance(dst, T.StructType) and isinstance(src, T.StructType):
+        by_name = {f.name: f for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            if f.name in by_name:
+                parts.append(
+                    align_expr(col[f.name], by_name[f.name].dataType, f.dataType).alias(f.name)
+                )
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(col.isNotNull(), F.struct(*parts)).otherwise(F.lit(None)).cast(dst)
+    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+        return F.transform(col, lambda x: align_expr(x, src.elementType, dst.elementType))
+    if isinstance(dst, T.MapType) and isinstance(src, T.MapType):
+        return F.transform_values(col, lambda k, v: align_expr(v, src.valueType, dst.valueType))
+    return col.cast(dst)
+
+
+def align_frame(df, target: T.StructType):
+    """Project ``df`` onto ``target``: missing columns become typed nulls,
+    evolved columns go through ``align_expr`` (nested-aware), extra columns
+    are dropped.  Shared by the lake read path (per-schema-id file groups →
+    current schema) and the CDC apply (net change / prior state → merged
+    schema)."""
+    from pyspark.sql import functions as F
+
+    by_name = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in by_name:
+            cols.append(align_expr(F.col(f.name), by_name[f.name].dataType, f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

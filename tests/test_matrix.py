@@ -77,3 +77,94 @@ def test_matrix(spark, tmp_path, placement, apply_mode):
     # non-duplication invariant over the whole matrix
     dups = pipe.read_state().groupBy("doc_id").count().where(F.col("count") > 1).count()
     assert dups == 0
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution INSIDE an array-of-struct column, mid-stream (the
+# reference's RenameServiceRequestColumns shape,
+# etl/script/RenameServiceRequestColumns.scala:40-78): an epoch adds a field
+# to the array's element struct; pre-evolution rows must read back with NULL
+# in the new nested field (a plain struct cast would fail on field count).
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("apply_mode", ["cow", "mor"])
+def test_nested_array_struct_evolution_mid_stream(spark, tmp_path, apply_mode):
+    from pyspark.sql import types as T
+
+    spans_v1 = T.ArrayType(
+        T.StructType(
+            [T.StructField("start", T.IntegerType()), T.StructField("end", T.IntegerType())]
+        )
+    )
+    payload_v1 = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("spans", spans_v1, True),
+        ]
+    )
+    ev_v1 = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("spans", spans_v1, True),
+        ]
+    )
+    spans_v2 = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("start", T.IntegerType()),
+                T.StructField("end", T.IntegerType()),
+                T.StructField("label", T.StringType()),
+            ]
+        )
+    )
+    ev_v2 = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("spans", spans_v2, True),
+        ]
+    )
+
+    create_cdc_table(str(tmp_path / "docs"), payload_v1, n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), apply_mode=apply_mode)
+
+    # epoch 0: v1 payloads (no label anywhere); doc_null has a NULL array
+    e0 = spark.createDataFrame(
+        [
+            (1, "I", "a", [(0, 5), (7, 9)]),
+            (2, "I", "b", [(1, 2)]),
+            (3, "I", "doc_null", None),
+        ],
+        ev_v1,
+    )
+    pipe.apply_epoch(e0, 0)
+
+    # epoch 1: element struct grows a `label` field mid-stream
+    e1 = spark.createDataFrame(
+        [
+            (4, "U", "b", [(1, 2, "greeting"), (3, 4, None)]),
+            (5, "I", "c", [(9, 12, "body")]),
+        ],
+        ev_v2,
+    )
+    res = pipe.apply_epoch(e1, 1)
+    assert res.evolved_schema
+
+    state = pipe.read_state()
+    spans_t = state.schema["spans"].dataType
+    assert spans_t.elementType.fieldNames() == ["start", "end", "label"]
+    got = {r["doc_id"]: r["spans"] for r in state.collect()}
+    # pre-evolution rows: label reads as NULL, start/end intact, NULL array stays NULL
+    assert [(s["start"], s["end"], s["label"]) for s in got["a"]] == [
+        (0, 5, None),
+        (7, 9, None),
+    ]
+    assert got["doc_null"] is None
+    # post-evolution rows carry the new nested field (incl. a NULL label)
+    assert [(s["start"], s["end"], s["label"]) for s in got["b"]] == [
+        (1, 2, "greeting"),
+        (3, 4, None),
+    ]
+    assert [(s["start"], s["end"], s["label"]) for s in got["c"]] == [(9, 12, "body")]
