@@ -145,7 +145,7 @@ def bench_cdc(spark, n_events: int, n_cpus: int) -> dict:
             # (global offsets observed for free during the dedup pass)
             collect_part_stats=os.environ.get("SPARK_GRAFT_BENCH_PART_STATS", "0") == "1",
             # scaling-protocol A/B: measure either dedup variant
-            dedup_variant=os.environ.get("SPARK_GRAFT_BENCH_DEDUP_VARIANT", "join"),
+            dedup_variant=os.environ.get("SPARK_GRAFT_BENCH_DEDUP_VARIANT", "auto"),
             # copy-on-write (default) vs merge-on-read delta apply
             apply_mode=os.environ.get("SPARK_GRAFT_BENCH_APPLY_MODE", "cow"),
         )

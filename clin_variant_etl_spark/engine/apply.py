@@ -56,7 +56,7 @@ from ..schemas import (
     merge_schemas,
     same_shape,
 )
-from .dedup import latest_by_key_join, latest_by_key_salted
+from .dedup import latest_by_key_auto, latest_by_key_join, latest_by_key_salted
 
 EVENT_META_COLS = ("lsn", "op", "event_ts", "epoch_hint")
 BUCKET_PARTITION = "bucket"
@@ -107,6 +107,7 @@ class ApplyResult:
     skipped: bool = False
     evolved_schema: bool = False
     phase_ms: dict | None = None  # per-phase wall-clock (observability)
+    dedup_variant_used: str | None = None  # "join" | "salted" (auto reports its pick)
 
 
 class CdcPipeline:
@@ -121,9 +122,10 @@ class CdcPipeline:
         key_col: str = "doc_id",
         n_salts: int = 8,
         collect_part_stats: bool = False,
-        dedup_variant: str = "join",
+        dedup_variant: str = "auto",
         debug_checks: bool = False,
         apply_mode: str = "cow",
+        broadcast_max_rows: int | None = 4_000_000,
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
@@ -134,14 +136,23 @@ class CdcPipeline:
         if apply_mode not in ("cow", "mor"):
             raise ValueError(f"unknown apply_mode {apply_mode!r}")
         self.apply_mode = apply_mode
-        # "join" (default): numeric-only winner aggregation + slim payload
-        #   join — all HashAggregate, skew spread over (key, lsn);
+        # "auto" (default): measured winner-count cost model — broadcast
+        #   join while the winner set fits ``broadcast_max_rows`` (payload
+        #   never shuffles), salted single-pass once it cannot; the previous
+        #   epoch's net count short-circuits the probe (engine/dedup.py
+        #   latest_by_key_auto).
+        # "join": numeric-only winner aggregation + slim payload join — all
+        #   HashAggregate, skew spread over (key, lsn);
         # "salted": two-phase max_by(struct) — one pass over the payload but
-        #   SortAggregate stages (var-width buffer); kept selectable, both
-        #   variants share the exact lineage-count contract.
-        if dedup_variant not in ("join", "salted"):
+        #   SortAggregate stages (var-width buffer).
+        # All variants share the exact lineage-count contract.
+        if dedup_variant not in ("auto", "join", "salted"):
             raise ValueError(f"unknown dedup_variant {dedup_variant!r}")
         self.dedup_variant = dedup_variant
+        self.broadcast_max_rows = broadcast_max_rows
+        # auto-variant probe short-circuit: last applied epoch's net-change
+        # count (in-process; a restarted driver simply re-probes once)
+        self._net_estimate: int | None = None
         # Default (False): global offset range + count ride the `observe` on
         # the dedup pass — ZERO extra scans; lineage gets one summary row.
         # True adds per-source-partition offset rows at the cost of one extra
@@ -286,6 +297,7 @@ class CdcPipeline:
             F.count(F.lit(1)).alias("n"),
         )
         dedup_cleanup: list = []
+        variant_report: dict = {}
         if self.dedup_variant == "join":
             # observation rides the slim aggregate branch only, so it fires
             # exactly once even though `events` appears twice in the plan
@@ -299,7 +311,8 @@ class CdcPipeline:
                 check_payload_consistency=self.debug_checks,
                 cleanup=dedup_cleanup,
             )
-        else:
+            variant_report["variant"] = "join"
+        elif self.dedup_variant == "salted":
             net = latest_by_key_salted(
                 events_observed,
                 self.key_col,
@@ -307,6 +320,22 @@ class CdcPipeline:
                 self.n_salts,
                 count_col="_fold_cnt",
                 distinct_col="_dst_cnt",
+            )
+            variant_report["variant"] = "salted"
+        else:  # auto: measured winner-count cost model (engine/dedup.py)
+            net = latest_by_key_auto(
+                events,
+                self.key_col,
+                "lsn",
+                n_salts=self.n_salts,
+                count_col="_fold_cnt",
+                distinct_col="_dst_cnt",
+                stats_df=events_observed,
+                check_payload_consistency=self.debug_checks,
+                broadcast_max_rows=self.broadcast_max_rows,
+                cleanup=dedup_cleanup,
+                estimate=self._net_estimate,
+                chosen=variant_report,
             )
         net = _align(
             net,
@@ -362,7 +391,8 @@ class CdcPipeline:
                 )
                 wall = int((time.monotonic() - t0) * 1000)
                 res = ApplyResult(
-                    epoch_id, new_snap.snapshot_id, events_in, 0, 0, 0, 0, 0, wall, phase_ms=phases
+                    epoch_id, new_snap.snapshot_id, events_in, 0, 0, 0, 0, 0, wall,
+                    phase_ms=phases, dedup_variant_used=variant_report.get("variant"),
                 )
                 self._write_sidecars(res, part_rows, summary_rows)
                 return res
@@ -597,7 +627,9 @@ class CdcPipeline:
             wall_ms=wall,
             evolved_schema=evolved,
             phase_ms=phases,
+            dedup_variant_used=variant_report.get("variant"),
         )
+        self._net_estimate = net_count
         self._write_sidecars(res, part_rows, summary_rows)
         return res
 

@@ -14,11 +14,15 @@ out the reference's order-unstable orderBy+dropDuplicates E5 pattern):
    survivors reduce per key.  Map-side partial aggregation + salt makes this
    skew-proof (north_star skew handling).
 3. ``latest_by_key_join``   — numeric-only winner aggregation + payload
-   join, with adaptive winner-set broadcast; the engine default
-   (``CdcPipeline(dedup_variant=…)`` selects).
+   join, with adaptive winner-set broadcast.
 4. ``latest_by_key_pandas``  — Arrow/pandas variant (applyInPandas) for the
    cases where the reduction itself needs imperative logic; zero per-row
    Python (vectorized idxmax within each Arrow batch group).
+
+``latest_by_key_auto`` — the engine default (``CdcPipeline(dedup_variant=
+"auto")``) — selects between 2 and 3 per epoch from the MEASURED winner
+count: broadcast join while the winner set fits (payload never shuffles),
+salted single-pass once it cannot (see its docstring for the cost model).
 """
 
 from __future__ import annotations
