@@ -246,48 +246,133 @@ def ann_lsh_buckets(spark, sf_dir):
 
 
 # =========================================================================
-# LSH candidates → exact cosine rescore: the END-TO-END scale path for
-# near-dup pair mining.  Candidate pairs come from an equi-join on the
-# hyperplane bucket (shuffle ∝ Σ bucket², never corpus²); each candidate is
-# rescored with the exact vectorized dot product and thresholded.  This
-# demotes `embed_cosine_pairs` (all-pairs theta-join) to a labeled
-# correctness baseline — at 10^9 vectors only this query is runnable.
-# Recall note: same-bucket is a prefilter (8 planes → pairs differing in any
-# sign bit are missed); production would union several plane sets (bands).
-# The oracle is restricted to same-bucket pairs, so results are exact.
+# Banded LSH candidates → exact cosine rescore: the END-TO-END scale path
+# for near-dup pair mining.  A single 8-plane bucket misses any near pair
+# differing in one sign bit, so the query unions N_BANDS independent plane
+# sets (the minhash banding shape, textops.py): a pair is a candidate if it
+# collides in ANY band.  Candidate generation is an equi-join on
+# (band, bucket) — shuffle ∝ Σ_band Σ bucket², never corpus²; each candidate
+# is rescored with the exact vectorized dot product, thresholded, and
+# de-duplicated across bands (the cosine is deterministic per pair, so
+# DISTINCT is exact on both sides).  This demotes `embed_cosine_pairs`
+# (all-pairs theta-join) to a labeled correctness baseline — at 10^9
+# vectors only this query is runnable.  Band 0 is the round-3 single-band
+# signature; bands 1+ are recall probes (tests/test_banded_lsh.py measures
+# recall vs the all-pairs baseline).
 # =========================================================================
-_LSH_PAIRS_ORACLE = f"""
+N_BANDS = 4
+# per-band dimension multiplier (band 0 = the round-3 single-band signature).
+# The weight family ((i*A + p*17) % 7) - 3 is periodic in i with period 7, so
+# a mere additive band offset would PERMUTE the same 7 plane vectors across
+# bit positions — identical bucket partitions, zero extra recall.  Distinct
+# multipliers (mod 7: 3, 1, 2, 5) regroup the dimensions into different
+# residue classes, i.e. genuinely different hyperplanes per band.
+_BAND_MULTS = (31, 29, 23, 19)
+
+
+def _band_plane_dot_sql(p: int, b: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+        f"i -> v[i] * CAST((((i) * {_BAND_MULTS[b]} + {p} * 17) % 7) - 3 AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _band_bucket_sql(b: int) -> str:
+    return " + ".join(
+        f"CASE WHEN {_band_plane_dot_sql(p, b)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES)
+    )
+
+
+def _banded_lsh_oracle() -> str:
+    bands_union = "\n       UNION ALL ".join(
+        f"SELECT vec_id, v, nrm, {b} AS band, CAST({_band_bucket_sql(b)} AS BIGINT) AS bucket FROM n"
+        for b in range(N_BANDS)
+    )
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-     bucketed AS (
-       SELECT vec_id, v, CAST({_bucket_sql} AS BIGINT) AS bucket FROM e
-     ),
-     n AS (SELECT vec_id, v, bucket,
-                  sqrt({_dot_fold_sql("v", "v")}) AS nrm
-           FROM bucketed)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+     n AS (SELECT vec_id, v, sqrt({_dot_fold_sql("v", "v")}) AS nrm FROM e),
+     bands AS (
+       {bands_union}
+     )
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_dot_fold_sql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_dot_fold_sql("a.v", "b.v")} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
 """
 
 
+def _band_buckets_pandas_udf():
+    """Arrow-vectorized banded hyperplane signatures: ``array<long>`` of
+    N_BANDS buckets per vector.  Each plane's dot product is the SAME left
+    fold over dimensions as the oracle's ``list_reduce`` (acc starts at 0.0,
+    adds v[i]*w[i] in dimension order, IEEE doubles), so all sign bits — and
+    every band bucket — are bitwise identical to the DuckDB oracle.  The 8
+    planes of a band fold together (one 64-iteration loop over dimensions
+    updating an (n_rows, 8) accumulator)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mults = tuple(_BAND_MULTS)  # closure-captured by value (cloudpickle)
+    n_bands, n_planes = N_BANDS, N_PLANES
+
+    @pandas_udf("array<long>")
+    def band_buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy())
+        n_rows, n_dims = V.shape
+        out = np.zeros((n_rows, n_bands), dtype=np.int64)
+        dims = np.arange(1, n_dims + 1)
+        powers = (1 << np.arange(n_planes)).astype(np.int64)
+        for b in range(n_bands):
+            # W[i, p] = ((i*MULT_b + p*17) % 7) - 3 for 1-indexed dim i
+            W = ((dims[:, None] * mults[b] + np.arange(n_planes)[None, :] * 17) % 7 - 3).astype(
+                np.float64
+            )
+            acc = np.zeros((n_rows, N_PLANES), dtype=np.float64)
+            for i in range(n_dims):
+                acc = acc + V[:, i : i + 1] * W[i]
+            out[:, b] = ((acc > 0) * powers).sum(axis=1)
+        return pd.Series(list(out))
+
+    return band_buckets
+
+
 @query(
     "embed_cosine_pairs_lsh",
-    oracle=_LSH_PAIRS_ORACLE,
+    oracle=_banded_lsh_oracle(),
     survey="sim-cosine-dup,sim-ann-lsh,C2,I3",
 )
 def embed_cosine_pairs_lsh(spark, sf_dir):
     dot = _dot_pandas_udf()
-    b = _bucketed(spark, sf_dir)
-    # bound pair fan-out: over-cap hyperplane buckets are dropped pre-join
-    b = cap_buckets(b, ["bucket"])
-    n = b.select("vec_id", "v", "bucket", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
-    a, c = n.alias("a"), n.alias("b")
+    bb = _band_buckets_pandas_udf()
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # signatures + norms materialized ONCE (localCheckpoint — blocks are
+    # reclaimed by the context cleaner); the cap count and both pair-join
+    # sides re-derive the exploded (band, bucket) rows from these blocks
+    # without re-running either UDF (the r3 lesson from dedup_minhash_lsh).
+    n = e.select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        bb(F.col("v")).alias("_bands"),
+    ).localCheckpoint(eager=True)
+    ex = n.select(
+        "vec_id", "v", "nrm", F.posexplode("_bands").alias("band", "bucket")
+    )
+    # bound pair fan-out: over-cap (band, bucket) groups are dropped pre-join
+    ex = cap_buckets(ex, ["band", "bucket"])
+    a, c = ex.alias("a"), ex.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             c,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -296,4 +381,5 @@ def embed_cosine_pairs_lsh(spark, sf_dir):
             cos.alias("cosine"),
         )
         .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .distinct()
     )
