@@ -39,19 +39,31 @@ class StreamingCdc:
         self,
         spark: SparkSession,
         pipeline: CdcPipeline,
-        events_dir: str,
-        event_schema: T.StructType,
-        checkpoint_dir: str,
+        events_dir: str | None = None,
+        event_schema: T.StructType | None = None,
+        checkpoint_dir: str = "",
         max_files_per_trigger: int | None = None,
+        source=None,
     ):
+        """``source`` (optional): callable ``spark -> streaming DataFrame``
+        replacing the default file-log reader — a Kafka/binlog adapter plugs
+        in here and NOTHING downstream changes (epoch gate, LSN resolution,
+        checkpoint pairing are all source-agnostic; pinned by
+        tests/test_mock_source.py against a non-file at-least-once,
+        out-of-order source)."""
         self.spark = spark
         self.pipeline = pipeline
         self.events_dir = events_dir
         self.event_schema = event_schema
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        self.source = source
+        if source is None and (events_dir is None or event_schema is None):
+            raise ValueError("pass either source= or events_dir+event_schema")
 
     def _reader(self):
+        if self.source is not None:
+            return self.source(self.spark)
         r = (
             self.spark.readStream.schema(self.event_schema)
             # recursive lookup reads epoch=*/part-*.parquet without turning
