@@ -41,6 +41,8 @@ than the delete stays dead (SURVEY.md §7.4 hard part #1).  Compaction
 
 from __future__ import annotations
 
+import math
+import os
 import time
 from dataclasses import dataclass
 
@@ -85,6 +87,41 @@ def create_cdc_table(
     # the full merged table is skipped (write_data_files(aligned=True)).
     spec = [PartitionField(BUCKET_PARTITION, key_col, "bucket_m3", n_buckets)]
     return LakeTable.create(path, schema, spec)
+
+
+def _aligned_partition_count(
+    n_buckets: int, parallelism: int, bucket_keys: list[int], net_count: int
+) -> int:
+    """Partition count for the bucket-aligned merge: ``k * n_buckets`` with
+    every task holding exactly ONE bucket value (k files per bucket per
+    epoch, folded by compaction).
+
+    Two guards on k:
+    - parallelism (ADVICE r3): k >= ceil(parallelism / n_buckets) so the
+      merge uses at least cluster-parallelism tasks on few-bucket tables;
+    - **measured skew**: a bucket's rows can only land in partitions
+      ≡ bucket (mod n_buckets) — exactly k of them — so a HOT bucket
+      (adversarial keys concentrating in one bucket) would pin its entire
+      merge+write to k tasks no matter how many cores idle.  The per-bucket
+      net-key histogram is already collected for the commit, so size k such
+      that the hottest bucket's share spreads to ~1/parallelism per task:
+      k >= parallelism * max_bucket_share, capped at parallelism (beyond
+      that every bucket already spans all cores).  The guard only arms when
+      the hottest bucket exceeds 1.5x its uniform share, so ordinary
+      layouts keep the minimal k (and its file count); the CoW carry rows
+      follow the same key distribution, so the net histogram is the right
+      proxy for write work.
+    """
+    k = max(1, math.ceil(parallelism / n_buckets))
+    # SPARK_GRAFT_DISABLE_SKEW_GUARD=1: bench A/B knob (scripts/skew_bench.py
+    # measures the guard's effect with it off vs on) — not a production switch
+    if os.environ.get("SPARK_GRAFT_DISABLE_SKEW_GUARD") == "1":
+        return n_buckets * k
+    if net_count > 0 and bucket_keys:
+        share = max(bucket_keys) / net_count
+        if share > 1.5 / n_buckets:
+            k = max(k, min(parallelism, math.ceil(parallelism * share)))
+    return n_buckets * k
 
 
 def _align(df: DataFrame, fields) -> DataFrame:
@@ -420,9 +457,12 @@ class CdcPipeline:
             )
             n_parts = 0
             if aligned:
-                n_b = spec[0].n
-                par = self.spark.sparkContext.defaultParallelism
-                n_parts = n_b * max(1, -(-par // n_b))
+                n_parts = _aligned_partition_count(
+                    spec[0].n,
+                    self.spark.sparkContext.defaultParallelism,
+                    [r["n_keys"] for r in bucket_rows],
+                    net_count,
+                )
 
             obs_cls = Observation(f"cls-{epoch_id}")
             counters = [

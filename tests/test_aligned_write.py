@@ -134,3 +134,23 @@ def test_aligned_replay_few_buckets_wide_cluster(spark):
         per_bucket[b] = per_bucket.get(b, 0) + 1
     assert per_bucket and all(1 <= c <= k for c in per_bucket.values()), per_bucket
     assert_state_equals(pipe.read_state(), replay_oracle(tbl.to_pandas()))
+
+
+def test_aligned_partition_count_skew_guard():
+    """k widens with the measured hot-bucket share, never narrows, caps at
+    parallelism, and leaves near-uniform histograms at the minimal k."""
+    from clin_variant_etl_spark.engine.apply import _aligned_partition_count
+
+    # uniform over 32 buckets at par=8: parallelism guard only (k=1)
+    assert _aligned_partition_count(32, 8, [100] * 32, 3200) == 32
+    # few-bucket table: k = ceil(par / n_buckets)
+    assert _aligned_partition_count(2, 8, [500, 500], 1000) == 2 * 4
+    # moderate imbalance below 1.5x uniform share: guard stays disarmed
+    assert _aligned_partition_count(8, 8, [140] + [123] * 7, 1001) == 8
+    # hot bucket with 50% of keys at n=8 (uniform would be 12.5%):
+    # k = ceil(8 * 0.5) = 4 so the hot bucket spreads to ~1/par per task
+    assert _aligned_partition_count(8, 8, [500] + [72] * 7, 1004) == 8 * 4
+    # fully adversarial (everything in one bucket): k caps at parallelism
+    assert _aligned_partition_count(8, 8, [1000] + [0] * 7, 1000) == 8 * 8
+    # empty epoch: falls back to the parallelism guard
+    assert _aligned_partition_count(8, 8, [], 0) == 8
