@@ -127,6 +127,18 @@ def merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType
                 _merge_type(cur.elementType, inc.elementType, path + ".element"),
                 cur.containsNull or inc.containsNull,
             )
+        if isinstance(cur, T.MapType) and isinstance(inc, T.MapType):
+            # map KEYS identify entries — a key-type change is a different
+            # map, not an evolution; values evolve like any nested type
+            if cur.keyType != inc.keyType:
+                raise ValueError(
+                    f"incompatible map-key change at {path}: {cur.keyType} vs {inc.keyType}"
+                )
+            return T.MapType(
+                cur.keyType,
+                _merge_type(cur.valueType, inc.valueType, path + ".value"),
+                cur.valueContainsNull or inc.valueContainsNull,
+            )
         if isinstance(cur, T.StructType) and isinstance(inc, T.StructType):
             return _merge_struct(cur, inc, path)
         raise ValueError(f"incompatible schema change at {path}: {cur} vs {inc}")

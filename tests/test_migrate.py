@@ -116,3 +116,42 @@ def test_update_partitioning_conflict_safety(spark, tmp_path):
     assert [p.name for p in s.partition_spec] == ["b"]
     assert s.timestamp_ms >= before_ts
     assert t.read(spark).count() == 3
+
+
+def test_align_expr_map_value_evolution(spark):
+    """Evolution inside MAP VALUES: align_frame fills new struct fields in
+    map values with typed nulls (keys never evolve — merge_schemas raises)."""
+    from pyspark.sql import types as T
+
+    from clin_variant_etl_spark.schemas import align_frame, merge_schemas
+
+    src_t = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField(
+                "m",
+                T.MapType(
+                    T.StringType(),
+                    T.StructType([T.StructField("a", T.IntegerType())]),
+                ),
+            ),
+        ]
+    )
+    dst_inner = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    dst_t = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("m", T.MapType(T.StringType(), dst_inner)),
+        ]
+    )
+    # merge_schemas produces exactly this dst (append + widen inside map value)
+    assert merge_schemas(src_t, dst_t).simpleString() == dst_t.simpleString()
+
+    df = spark.createDataFrame([("x", {"p": (1,)}), ("y", None)], src_t)
+    out = align_frame(df, dst_t)
+    assert out.schema.simpleString() == dst_t.simpleString()
+    rows = {r["k"]: r["m"] for r in out.collect()}
+    assert rows["x"]["p"]["a"] == 1 and rows["x"]["p"]["b"] is None
+    assert rows["y"] is None
