@@ -27,6 +27,10 @@ THIS round.  Slots rotate so every query gets a driver row in some round:
       embed_cosine_pairs (all-pairs baseline of embed_cosine_pairs_lsh),
       brand_part_stats, orders_month_priority, customer_name_parse,
       union_order_events
+  - suite-only, new in r4 (survey rows already gated via
+    ann_topk_bruteforce / ann_lsh_buckets):
+      ann_ivf_topk (exact DuckDB oracle in tests/test_oracle_parity.py;
+      recall-vs-bruteforce pinned in tests/test_banded_lsh.py)
 """
 
 from __future__ import annotations

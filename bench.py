@@ -224,6 +224,7 @@ HEADLINE = [
     "embed_cosine_pairs",
     "embed_cosine_pairs_lsh",
     "ann_topk_bruteforce",
+    "ann_ivf_topk",
     "interval_overlap_best",
     "text_quality_stats",
     "multimodal_decode_features",
