@@ -83,6 +83,7 @@ def all_queries(include_suite_only: bool = False) -> dict[str, QuerySpec]:
         coverage_ext,
         freq_cascade,
         intervals,
+        mlprep,
         multimodal,
         packing,
         relational,
