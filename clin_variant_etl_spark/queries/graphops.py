@@ -1,0 +1,175 @@
+"""Dedup cluster assignment: connected components over the near-duplicate
+pair graph, by iterative min-label propagation.
+
+Pairwise near-dup detection (``dedup_ngram_jaccard`` / ``dedup_simhash_pairs``
+/ ``embed_cosine_pairs_lsh``) tells you *which* documents are near-copies of
+each other; a training-data pipeline then needs ONE canonical document per
+duplicate *group*, which requires closing the pair relation transitively
+(A~B, B~C ⇒ {A,B,C} is one cluster even if A and C never paired).  This is
+connected components — the step that turns a pair list into a keep/drop
+decision.
+
+Algorithm (HashToMin label propagation, the standard Spark formulation):
+
+  labels(v) = v                                  -- every doc its own label
+  repeat:  labels(v) = min(labels(v), min over neighbours u of labels(u))
+  until no label changed
+
+Each iteration is ONE shuffle-on-doc_id join + ONE groupBy(min) — both
+hash-partition on the same key, so AQE coalesces them onto a shared
+exchange.  Convergence needs at most ``diameter(G)`` iterations; near-dup
+graphs are unions of small dense clusters (the LSH band caps —
+caps.py — bound any bucket's fan-out upstream, so no giant component of
+unbounded diameter can form), and a ``MAX_ITERS`` guard turns a pathological
+input into a loud error instead of a silent wrong answer.
+
+100-TB notes:
+- the edge list is localCheckpoint'ed once (it is 2 long columns; the
+  expensive shingle/signature pass behind it must not re-run per iteration);
+- labels are re-localCheckpoint'ed per iteration to truncate the lineage —
+  without this the plan doubles every iteration and the job dies on plan
+  size long before data size matters;
+- the per-iteration convergence check is a COUNT aggregate (one scalar to
+  the driver per iteration — the canonical pattern for iterative algorithms
+  on Spark; GraphX's Pregel loop does exactly this);
+- for graphs with truly giant components (not the dedup case) the
+  large-star/small-star alternation (Kiveris et al., "Connected Components
+  in MapReduce and Beyond") converges in O(log n) rounds — noted as the
+  escalation path, not needed while the pair generation is cap-bounded.
+
+Reference parity: the reference has no graph operator (its dedup is
+keep-latest by key, ``normalized/SNV.scala``); this is an LLM-pipeline
+extension per the build brief, with an exact DuckDB recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, query
+from .textops import _shingles_sql, _words_sql, dedup_ngram_jaccard
+
+MAX_ITERS = 50
+
+# Oracle: same jaccard pair set as dedup_ngram_jaccard (2i >= na+nb-i ⇔
+# jaccard >= 1/2, integer cross-multiplied), then min-reachable-label closure.
+# The recursion only carries labels that are still *decreasing* for the
+# destination (r.label < e.d), which prunes the state to O(cluster size)
+# per node while provably still delivering the component minimum (the min
+# label m is < every other node id in its component, so the guard never
+# blocks m's propagation along any path).
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, {_words_sql("text")} AS ws FROM documents
+), shingles AS (
+  SELECT doc_id, s FROM {_shingles_sql("ws")} sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.doc_a
+  JOIN sizes sb ON sb.doc_id = inter.doc_b
+  WHERE 2 * i >= sa.n + sb.n - i
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(doc_id, label) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.doc_id
+  WHERE r.label < e.d
+), assign AS (
+  SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id,
+       CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY a.cluster_id) AS BIGINT) AS cluster_size,
+       (a.doc_id = a.cluster_id) AS is_canonical
+FROM assign a
+"""
+
+
+def connected_components(edges, nodes, id_col="doc_id", max_iters=MAX_ITERS):
+    """Min-label propagation over an undirected edge list.
+
+    ``edges``: DataFrame(src long, dst long) — one row per directed edge
+    (pass both directions for an undirected graph).  ``nodes``: DataFrame
+    with ``id_col`` (every vertex, including isolated ones).  Returns
+    DataFrame(id_col, cluster_id) where cluster_id = min vertex id of the
+    component.  Exact and order-insensitive (min is commutative).
+    """
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("long").alias("label"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neigh_min, labels.doc_id == neigh_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = stepped.where(F.col("_changed")).limit(1).count()
+        labels = stepped.drop("_changed")
+        if changed == 0:
+            return labels.withColumnRenamed("label", "cluster_id").withColumnRenamed(
+                "doc_id", id_col
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations — "
+        "the pair graph has a component of diameter > max_iters; raise "
+        "max_iters or switch to large-star/small-star alternation"
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    survey="dedup-clusters,C2,D1,E1",
+    # suite-only: the driver gate is pinned at 50 (registry.py); every survey
+    # code here is evidenced by gated siblings (dedup_ngram_jaccard, cdc_*).
+    gate=False,
+)
+def dedup_clusters(spark, sf_dir):
+    """Canonical-document assignment: jaccard>=0.5 near-dup pairs → connected
+    components → (doc_id, cluster_id, cluster_size, is_canonical).
+
+    cluster_id is the component's min doc_id; is_canonical marks the one
+    document per cluster a dedup pipeline would keep.  Exact oracle: DuckDB
+    recursive CTE over the identical pair set (min-label closure).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    assign = connected_components(edges, nodes)
+    # cluster count ~ doc count at scale (most clusters are singletons), so
+    # the size lookup is a same-key shuffle join, NOT a broadcast
+    sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        assign.join(sizes, "cluster_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )

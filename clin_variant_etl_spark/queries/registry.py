@@ -82,6 +82,7 @@ def all_queries(include_suite_only: bool = False) -> dict[str, QuerySpec]:
         cdc_events,
         coverage_ext,
         freq_cascade,
+        graphops,
         intervals,
         mlprep,
         multimodal,
