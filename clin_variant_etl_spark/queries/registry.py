@@ -90,6 +90,7 @@ def all_queries(include_suite_only: bool = False) -> dict[str, QuerySpec]:
         relational,
         scans,
         simops,
+        termstats,
         textops,
     )
 
