@@ -79,6 +79,7 @@ def all_queries(include_suite_only: bool = False) -> dict[str, QuerySpec]:
     adds the suite-only queries (benched + exact-parity-tested locally)."""
     # import side-effect modules once
     from . import (  # noqa: F401
+        asof,
         cdc_events,
         coverage_ext,
         freq_cascade,
