@@ -238,14 +238,80 @@ class CdcPipeline:
         mor commit); it is a semantic no-op on a 1-row-per-key table, so a
         safety-resolve after compaction costs only the aggregation.
         """
-        df = self.table.read(self.spark, snapshot_id=snapshot_id)
+        df = self._read_resolved(snapshot_id)
+        df = df.where(~F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)))
+        return df.drop(INTERNAL_LAST_LSN, INTERNAL_DELETED)
+
+    def _read_resolved(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, set[str]] | None = None,
+    ) -> DataFrame:
+        """One row per key INCLUDING internals (lsn, tombstones) — the mor
+        keep-max-LSN resolve applied when deltas may exist."""
+        df = self.table.read(
+            self.spark, snapshot_id=snapshot_id, partition_filter=partition_filter
+        )
         snap = (
             self.table.snapshot(snapshot_id) if snapshot_id else self.table.current_snapshot()
         )
         if self.apply_mode == "mor" or snap.properties.get("mor") == "1":
             df = latest_by_key_salted(df, self.key_col, INTERNAL_LAST_LSN, self.n_salts)
-        df = df.where(~F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)))
-        return df.drop(INTERNAL_LAST_LSN, INTERNAL_DELETED)
+        return df
+
+    def read_changes(
+        self, from_snapshot_id: int | None = None, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed read: every key whose current version differs
+        between two snapshots — upserts with their payload, deletes as
+        ``_change_type='delete'`` rows — plus ``_last_lsn``.  The consumer's
+        cursor is the SNAPSHOT ID (``resume_info`` publishes one per epoch;
+        ``from_snapshot_id=None`` means full history).
+
+        Snapshot ids are the only sound cursor here: a source-LSN high-water
+        mark breaks under out-of-order delivery, because a late event can
+        set a key's current lsn BELOW the consumer's global mark (the event
+        is late globally yet still the newest for its key) — the change
+        would be silently skipped.  Snapshot-diff semantics are exact for
+        any commit history: a key changed iff its resolved (key, lsn) pair
+        in ``to`` is absent from ``from`` (per-key lsn never repeats).
+
+        Cost is O(changed buckets), not O(table): only partitions owning a
+        file added since ``from`` are scanned on BOTH sides (a key's version
+        can only change via a new file in its own bucket), and compaction
+        rewrites inside that window are filtered by the (key, lsn) anti-join
+        — file movement is invisible, only value changes surface.
+
+        Caveat (same as Iceberg CDF past snapshot expiry): tombstones
+        dropped by the lsn-horizon GC are no longer observable, so a
+        consumer further behind than the horizon must re-sync from a full
+        read_state.
+        """
+        to_snap = (
+            self.table.snapshot(to_snapshot_id)
+            if to_snapshot_id
+            else self.table.current_snapshot()
+        )
+        fresh = to_snap.files
+        if from_snapshot_id is not None:
+            old_paths = {f["path"] for f in self.table.snapshot(from_snapshot_id).files}
+            fresh = [f for f in fresh if f["path"] not in old_paths]
+        deleted = F.coalesce(F.col(INTERNAL_DELETED), F.lit(False))
+        change_type = F.when(deleted, F.lit("delete")).otherwise(F.lit("upsert"))
+        if not fresh:
+            base = self.table.read(self.spark, snapshot_id=to_snap.snapshot_id).limit(0)
+            return base.withColumn("_change_type", change_type).drop(INTERNAL_DELETED)
+        pf = None
+        spec = to_snap.partition_spec
+        if spec and all(p.name in f["partition"] for p in spec for f in fresh):
+            pf = {p.name: {f["partition"][p.name] for f in fresh} for p in spec}
+        new_state = self._read_resolved(to_snap.snapshot_id, partition_filter=pf)
+        if from_snapshot_id is not None:
+            old_pairs = self._read_resolved(from_snapshot_id, partition_filter=pf).select(
+                self.key_col, INTERNAL_LAST_LSN
+            )
+            new_state = new_state.join(old_pairs, [self.key_col, INTERNAL_LAST_LSN], "left_anti")
+        return new_state.withColumn("_change_type", change_type).drop(INTERNAL_DELETED)
 
     def last_epoch_id(self) -> int:
         return int(self.table.properties().get("last_epoch_id", -1))

@@ -145,6 +145,22 @@ def _read_footer_stats(path: str, cols: tuple[str, ...]) -> tuple[int, dict]:
     return md.num_rows, stats
 
 
+def _stats_may_match(entry: dict, stats_filter: dict[str, tuple]) -> bool:
+    """True unless the entry's min/max PROVES no row can satisfy the filter.
+
+    Missing stats (column not collected, or all-null in the file) keep the
+    file — pruning must never turn a maybe into a miss."""
+    stats = entry.get("stats") or {}
+    for col, (lo, hi) in stats_filter.items():
+        rng = stats.get(col)
+        if not rng or rng[0] is None or rng[1] is None:
+            continue
+        fmin, fmax = rng
+        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+            return False
+    return True
+
+
 def _collect_parquet_stats(
     spark, paths: list[str], stats_cols: tuple[str, ...]
 ) -> dict[str, tuple[int, dict]]:
@@ -663,12 +679,23 @@ class LakeTable:
         snapshot_id: int | None = None,
         partition_filter: dict[str, set[str]] | None = None,
         ref: str | None = None,
+        stats_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally time-traveled / ref-pinned / partition-pruned).
 
         Files are grouped by the schema-id they were written under; each group
         is read with its own schema and aligned to the *current* schema
         (missing → null, widen → cast) — in-place evolution without rewrite.
+
+        ``stats_filter``: {col: (lo, hi)} — skip files whose manifest min/max
+        range for ``col`` (written via ``write_data_files(stats_cols=…)``)
+        cannot intersect [lo, hi] (either bound None = unbounded).  Pruning
+        is CONSERVATIVE: files without stats for the column are kept, so the
+        result is always a superset of the matching rows — callers still
+        apply their row filter; this only bounds how many files are opened.
+        At 100 TB this is the difference between an incremental reader
+        scanning O(delta) files vs O(table): e.g. LSN-range change feeds
+        open only files whose lsn span intersects the requested window.
         """
         if ref is not None:
             if snapshot_id is not None:
@@ -696,6 +723,8 @@ class LakeTable:
                     for f in files
                     if all(f["partition"].get(k) in v for k, v in partition_filter.items())
                 ]
+        if stats_filter:
+            files = [f for f in files if _stats_may_match(f, stats_filter)]
         if not files:
             return spark.createDataFrame([], snap.schema)
 

@@ -1,0 +1,177 @@
+"""Change-data-feed reads (``CdcPipeline.read_changes``) + stats-based file
+skipping (``LakeTable.read(stats_filter=…)``).
+
+The CDF cursor is the snapshot id (a source-LSN high-water mark is unsound
+under out-of-order delivery: a late event can set a key's current lsn below
+the consumer's global mark — an early draft here used lsn cursors and this
+suite caught exactly that miss).  Correctness oracle: pandas per-key
+last-version maps at each cut of the event log, diffed.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from clin_variant_etl_spark.engine import CdcPipeline, create_cdc_table
+from clin_variant_etl_spark.lake.table import _stats_may_match
+from clin_variant_etl_spark.schemas import BASE_DOCS_SCHEMA
+from clin_variant_etl_spark.testgen import (
+    EventGenConfig,
+    generate_change_events,
+    write_events_by_epoch,
+)
+
+
+def test_stats_may_match_unit():
+    e = {"stats": {"lsn": [10, 20]}}
+    assert _stats_may_match(e, {"lsn": (None, None)})
+    assert _stats_may_match(e, {"lsn": (20, None)})
+    assert _stats_may_match(e, {"lsn": (None, 10)})
+    assert _stats_may_match(e, {"lsn": (15, 15)})
+    assert not _stats_may_match(e, {"lsn": (21, None)})
+    assert not _stats_may_match(e, {"lsn": (None, 9)})
+    # conservative: no stats / unknown column / null bounds → keep
+    assert _stats_may_match({}, {"lsn": (21, None)})
+    assert _stats_may_match({"stats": {}}, {"lsn": (21, None)})
+    assert _stats_may_match({"stats": {"lsn": [None, None]}}, {"lsn": (21, None)})
+
+
+def test_stats_filter_prunes_files(spark, tmp_path):
+    """LakeTable.read(stats_filter=…) opens only files whose range may match."""
+    cfg = EventGenConfig(n_docs=80, n_events=800, n_epochs=4, seed=3)
+    tbl = generate_change_events(cfg)
+    src = str(tmp_path / "events")
+    write_events_by_epoch(tbl, src)
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    # mor: per-epoch delta files keep disjoint-ish lsn ranges (no carry rows)
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "docs"), collect_part_stats=True, apply_mode="mor"
+    )
+    for ep in range(4):
+        pipe.apply_epoch(spark.read.parquet(f"{src}/epoch={ep}"), epoch_id=ep)
+    full = pipe.table.read(spark)
+    hi = int(tbl.to_pandas()["lsn"].max())
+    sliced = pipe.table.read(spark, stats_filter={"_last_lsn": (hi - 50, None)})
+    assert set(sliced.inputFiles()) < set(full.inputFiles())
+    # conservative: pruned read still yields every matching row
+    want = full.where(F.col("_last_lsn") >= hi - 50).count()
+    assert sliced.where(F.col("_last_lsn") >= hi - 50).count() == want
+    # range past the table prunes everything
+    assert pipe.table.read(spark, stats_filter={"_last_lsn": (hi + 1, None)}).count() == 0
+
+
+def _last_versions(events_pdf: pd.DataFrame, delivered_mask) -> dict:
+    ev = (
+        events_pdf[delivered_mask]
+        .drop_duplicates(subset=["lsn"])
+        .sort_values("lsn", kind="stable")
+    )
+    last = ev.groupby("doc_id", as_index=False, sort=False).tail(1)
+    return {
+        r["doc_id"]: (int(r["lsn"]), "delete" if r["op"] == "D" else "upsert")
+        for _, r in last.iterrows()
+    }
+
+
+def _expected_diff(old: dict, new: dict) -> dict:
+    return {k: v for k, v in new.items() if old.get(k) != v}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_read_changes_matches_replay(spark, tmp_path, mode):
+    cfg = EventGenConfig(n_docs=120, n_events=1500, n_epochs=4, seed=11)
+    tbl = generate_change_events(cfg)
+    src = str(tmp_path / "events")
+    write_events_by_epoch(tbl, src)
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), apply_mode=mode)
+    snaps = {}
+    for ep in range(4):
+        r = pipe.apply_epoch(spark.read.parquet(f"{src}/epoch={ep}"), epoch_id=ep)
+        snaps[ep] = r.snapshot_id
+
+    pdf = tbl.to_pandas()
+    old = _last_versions(pdf, pdf["epoch_hint"] <= 2)
+    new = _last_versions(pdf, pdf["epoch_hint"] <= 3)
+    feed = pipe.read_changes(from_snapshot_id=snaps[2])
+    got = {
+        r["doc_id"]: (r["_last_lsn"], r["_change_type"])
+        for r in feed.select("doc_id", "_last_lsn", "_change_type").collect()
+    }
+    assert got == _expected_diff(old, new)
+
+    # full-history feed (from=None) = every key's current version incl. tombstones
+    full = {
+        r["doc_id"]: (r["_last_lsn"], r["_change_type"])
+        for r in pipe.read_changes().select(
+            "doc_id", "_last_lsn", "_change_type"
+        ).collect()
+    }
+    assert full == new
+
+    # adjacent-snapshot diff = exactly that epoch's net effect
+    step = {
+        r["doc_id"]: (r["_last_lsn"], r["_change_type"])
+        for r in pipe.read_changes(snaps[0], snaps[1]).select(
+            "doc_id", "_last_lsn", "_change_type"
+        ).collect()
+    }
+    assert step == _expected_diff(
+        _last_versions(pdf, pdf["epoch_hint"] <= 0),
+        _last_versions(pdf, pdf["epoch_hint"] <= 1),
+    )
+
+    # no new files → empty feed with the feed schema
+    empty = pipe.read_changes(from_snapshot_id=snaps[3])
+    assert empty.count() == 0 and "_change_type" in empty.columns
+
+
+def test_read_changes_prunes_to_touched_buckets(spark, tmp_path):
+    """An epoch touching ONE key scans only that key's bucket on both sides."""
+    cfg = EventGenConfig(n_docs=64, n_events=600, n_epochs=2, seed=9)
+    tbl = generate_change_events(cfg)
+    src = str(tmp_path / "events")
+    write_events_by_epoch(tbl, src)
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=8)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), apply_mode="mor")
+    for ep in range(2):
+        r = pipe.apply_epoch(spark.read.parquet(f"{src}/epoch={ep}"), epoch_id=ep)
+    base_snap = r.snapshot_id
+
+    # one-key epoch: update doc_00000001 only
+    one = spark.createDataFrame(
+        [(10_000, "U", "doc_00000001", [1, 2, 3], 3, "s0")],
+        "lsn: long, op: string, doc_id: string, tokens: array<int>, n_tok: int, source: string",
+    ).withColumn("event_ts", F.timestamp_seconds(F.lit(1700010000)).cast("timestamp_ntz"))
+    pipe.apply_epoch(one, epoch_id=2)
+
+    feed = pipe.read_changes(from_snapshot_id=base_snap)
+    rows = feed.select("doc_id", "_change_type").collect()
+    assert {r["doc_id"] for r in rows} == {"doc_00000001"}
+    # structural pruning: the diff read opened a strict subset of the table's
+    # files (only the touched bucket's base+delta, not all 8 buckets)
+    assert set(feed.inputFiles()) < set(pipe.table.read(spark).inputFiles())
+
+
+def test_read_changes_consumer_checkpoint_loop(spark, tmp_path):
+    """A consumer checkpointing SNAPSHOT ids sees every change exactly once
+    across apply rounds — including late events that lower a key's lsn gap."""
+    cfg = EventGenConfig(n_docs=60, n_events=600, n_epochs=3, seed=5)
+    tbl = generate_change_events(cfg)
+    src = str(tmp_path / "events")
+    write_events_by_epoch(tbl, src)
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), collect_part_stats=True)
+
+    pdf = tbl.to_pandas()
+    cursor, seen = None, {}
+    for ep in range(3):
+        pipe.apply_epoch(spark.read.parquet(f"{src}/epoch={ep}"), epoch_id=ep)
+        head = pipe.table.current_snapshot().snapshot_id
+        batch = pipe.read_changes(cursor, head).select(
+            "doc_id", "_last_lsn", "_change_type"
+        ).collect()
+        for r in batch:
+            seen[r["doc_id"]] = (r["_last_lsn"], r["_change_type"])
+        cursor = head
+    assert seen == _last_versions(pdf, pdf["lsn"] > 0)
