@@ -6,6 +6,8 @@ mock binlog stream (at-least-once, out-of-order, non-file)
   → publish tag + ref-pinned read
   → QC runner over the live table
   → stream RESUMES from the same checkpoint after the fold
+  → change-data-feed drains: empty across the fold (compaction moves files,
+    not values), exact per-key diff from the published ref to head
 
 Each piece has its own suite; this pins that they COMPOSE — in particular
 that a compaction commit preserves the epoch gate (so the resumed stream's
@@ -62,9 +64,15 @@ def test_stream_mor_compact_publish_qc_resume(spark, tmp_path):
     assert canonical_rows(pipe.read_state().toPandas()) == _oracle_rows(800)
 
     # fold the deltas; the epoch gate must survive the compaction commit
+    pre_fold = pipe.table.current_snapshot().snapshot_id
     compact(spark, pipe.table, resolve_keep_latest=("doc_id", INTERNAL_LAST_LSN))
     assert pipe.last_epoch_id() == 1
     assert canonical_rows(pipe.read_state().toPandas()) == _oracle_rows(800)
+
+    # change-data-feed across the fold: compaction rewrites files but changes
+    # no values, so the snapshot-diff feed over it is EMPTY
+    post_fold = pipe.table.current_snapshot().snapshot_id
+    assert pipe.read_changes(pre_fold, post_fold).count() == 0
 
     # publish the folded snapshot; later writes must not move the ref
     pipe.table.publish("v1")
@@ -82,3 +90,25 @@ def test_stream_mor_compact_publish_qc_resume(spark, tmp_path):
     # the published ref still reads the pre-third-epoch state
     ref_state = pipe.read_state(snapshot_id=snap_v1)
     assert canonical_rows(ref_state.toPandas()) == _oracle_rows(800)
+
+    # CDF from the published ref to head = exactly epoch 2's net effect,
+    # verified against the mock-source event log's per-key diff
+    def _last_versions(upto):
+        ev = pd.DataFrame(
+            [mock_source.event_for_seq(q, N_DOCS) for q in range(upto)],
+            columns=["lsn", "op", "doc_id", "tokens", "n_tok", "source"],
+        ).drop_duplicates(subset=["lsn"]).sort_values("lsn", kind="stable")
+        last = ev.groupby("doc_id", as_index=False, sort=False).tail(1)
+        return {
+            r["doc_id"]: (int(r["lsn"]), "delete" if r["op"] == "D" else "upsert")
+            for _, r in last.iterrows()
+        }
+
+    old_v, new_v = _last_versions(800), _last_versions(1200)
+    feed = {
+        r["doc_id"]: (r["_last_lsn"], r["_change_type"])
+        for r in pipe.read_changes(from_snapshot_id=snap_v1)
+        .select("doc_id", "_last_lsn", "_change_type")
+        .collect()
+    }
+    assert feed == {k: v for k, v in new_v.items() if old_v.get(k) != v}
