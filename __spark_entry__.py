@@ -28,9 +28,18 @@ THIS round.  Slots rotate so every query gets a driver row in some round:
       brand_part_stats, orders_month_priority, customer_name_parse,
       union_order_events
   - suite-only, new in r4 (survey rows already gated via
-    ann_topk_bruteforce / ann_lsh_buckets):
+    ann_topk_bruteforce / embed_cosine_pairs_lsh):
       ann_ivf_topk (exact DuckDB oracle in tests/test_oracle_parity.py;
       recall-vs-bruteforce pinned in tests/test_banded_lsh.py)
+  - mid-r4 swap (both outgoing queries driver-green r01-r03):
+      IN:  dedup_clusters (iterative connected components — recursive-CTE
+           oracle), attribution_last_touch (as-of join — verified against
+           DuckDB's NATIVE ASOF JOIN, an independent engine implementation)
+      OUT: ann_lsh_buckets (sim-LSH family stays gated via
+           embed_cosine_pairs_lsh), driver_scalar_share (the D7 scalar→lit
+           pattern stays in tfidf_top_terms / multimodal's F3 count rule)
+  - suite-only, new mid-r4 (codes covered by gated siblings):
+      top_tokens_per_lang, tfidf_top_terms (heavy hitters / TF-IDF)
 """
 
 from __future__ import annotations

@@ -91,9 +91,9 @@ ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
     "attribution_last_touch",
     oracle=_ATTRIBUTION_ORACLE,
     survey="asof-join,C10,E2,H-date",
-    # suite-only: driver gate pinned at 50; survey codes evidenced by gated
-    # siblings (ship_latency_histogram, interval_overlap_best)
-    gate=False,
+    # gated mid-r4 (slot freed by driver_scalar_share): the as-of operator
+    # is verified against an INDEPENDENT engine implementation (DuckDB's
+    # native ASOF JOIN) — highest-value driver row — see __spark_entry__.py
 )
 def attribution_last_touch(spark, sf_dir):
     """Last-touch attribution: each purchase joined as-of to the same user's

@@ -208,6 +208,11 @@ FROM customer
 GROUP BY 1
 """,
     survey="D7,D1",
+    # rotated out mid-r4 (driver rows green r01-r03; the D7 scalar→lit
+    # pattern stays exercised by tfidf_top_terms + multimodal's F3 count
+    # rule) to free a slot for attribution_last_touch — see
+    # __spark_entry__.py rotation table
+    gate=False,
 )
 def driver_scalar_share(spark, sf_dir):
     c = load(spark, sf_dir, "customer")

@@ -143,9 +143,8 @@ def connected_components(edges, nodes, id_col="doc_id", max_iters=MAX_ITERS):
     "dedup_clusters",
     oracle=_CLUSTERS_ORACLE,
     survey="dedup-clusters,C2,D1,E1",
-    # suite-only: the driver gate is pinned at 50 (registry.py); every survey
-    # code here is evidenced by gated siblings (dedup_ngram_jaccard, cdc_*).
-    gate=False,
+    # gated mid-r4 (slot freed by ann_lsh_buckets): the one iterative-graph
+    # operator in the registry deserves a driver row — see __spark_entry__.py
 )
 def dedup_clusters(spark, sf_dir):
     """Canonical-document assignment: jaccard>=0.5 near-dup pairs → connected

@@ -233,7 +233,15 @@ def _bucketed(spark, sf_dir):
     return e.select("vec_id", "v", bucket(F.col("v")).alias("bucket"))
 
 
-@query("ann_lsh_buckets", oracle=_LSH_ORACLE, survey="sim-ann-lsh,D1,H-array,I3")
+@query(
+    "ann_lsh_buckets",
+    oracle=_LSH_ORACLE,
+    survey="sim-ann-lsh,D1,H-array,I3",
+    # rotated out mid-r4 (driver rows green r01-r03; sim-LSH family stays
+    # gated via embed_cosine_pairs_lsh, H-array/I3 via embedding_array_stats)
+    # to free a slot for dedup_clusters — see __spark_entry__.py rotation table
+    gate=False,
+)
 def ann_lsh_buckets(spark, sf_dir):
     bucketed = _bucketed(spark, sf_dir).select("vec_id", "bucket")
     return bucketed.groupBy("bucket").agg(
