@@ -282,3 +282,59 @@ def session_stats_per_user(spark, sf_dir):
         F.max("n_events").cast("long").alias("max_session_events"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
+
+
+# =========================================================================
+# Sliding-window analogue (batch form): 1-hour windows every 30 minutes.
+# Completes the axis-A window family (tumbling + session above).  Spark's
+# F.window(ts, "1 hour", "30 minutes") assigns each event to exactly
+# slide⁻¹·length = 2 windows; the oracle enumerates the same two starts
+# (floor30(ts) and floor30(ts) − 30 min — epoch-aligned, identical origin
+# to Spark's window calculation) and re-aggregates.  At scale the explode
+# is map-side ×2 fan-out feeding ONE count shuffle — the exact plan
+# Structured Streaming uses for sliding aggregations pre-watermark.
+# =========================================================================
+_SLIDE_SQL_STARTS = (
+    "to_timestamp(floor(epoch(ts) / 1800) * 1800)",
+    "to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)",
+)
+
+
+@query(
+    "sliding_hourly_activity",
+    oracle=f"""
+WITH assigned AS (
+  SELECT w.ws AS window_start, event_type, value, user_id
+  FROM events, LATERAL unnest([{_SLIDE_SQL_STARTS[0]}, {_SLIDE_SQL_STARTS[1]}]) AS w(ws)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM assigned
+GROUP BY 1, 2
+""",
+    survey="J-window,D1,D8,H-date",
+    # suite-only: J-window gated via tumbling_hourly_activity + session_stats
+    gate=False,
+)
+def sliding_hourly_activity(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+            "value",
+            "user_id",
+        )
+        .groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("sum_value_cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
