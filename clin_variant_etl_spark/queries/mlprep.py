@@ -98,3 +98,58 @@ def train_holdout_split(spark, sf_dir):
             F.min("doc_id").cast("long").alias("min_doc_id"),
         )
     )
+
+
+# =========================================================================
+# Deterministic stratified sample: k docs per language stratum, selected by
+# md5-hash rank.  The eval-set construction primitive — a uniform-without-
+# replacement sample per stratum that is a pure function of the content key
+# (stable across runs, engines, corpus re-orderings; adding documents can
+# only displace a selected doc by out-hashing it, never reshuffle the rest).
+# Plan at 10^10 docs: hash is map-side; per-stratum top-k is ONE shuffle on
+# the stratum key with a bounded heap per group (row_number over a total
+# order, k rows retained) — no global sort, no sample() nondeterminism.
+# =========================================================================
+SAMPLE_K = 20
+
+_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT lang, doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, n_chars, hk,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rnk
+  FROM h
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       hk, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {SAMPLE_K}
+"""
+
+
+@query(
+    "stratified_hash_sample",
+    oracle=_SAMPLE_ORACLE,
+    survey="sample-stratified,D6,E4,H-string",
+    gate=False,
+)
+def stratified_hash_sample(spark, sf_dir):
+    """k=20 docs per language by md5(doc_id) rank — deterministic
+    uniform-without-replacement stratified sampling."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("hk"), F.asc("doc_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= SAMPLE_K)
+        .select(
+            "lang",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "hk",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
