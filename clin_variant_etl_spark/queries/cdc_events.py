@@ -338,3 +338,45 @@ def sliding_hourly_activity(spark, sf_dir):
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# =========================================================================
+# Frame-based running aggregation: per-user cumulative spend + running event
+# index over event time.  The rank-based windows above (row_number/lag) are
+# POSITION windows; this is the FRAME family (rows BETWEEN UNBOUNDED
+# PRECEDING AND CURRENT ROW) — the last window shape the registry lacked.
+# Total order inside each partition: (ts, event_id) — ties impossible since
+# event_id is unique, so the running sums are deterministic.  At scale this
+# is one shuffle on user_id + a sorted per-partition scan (identical cost
+# profile to sessionization above).
+# =========================================================================
+@query(
+    "running_user_spend",
+    oracle="""
+SELECT user_id,
+       event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(SUM(CAST(round(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS run_cents,
+       CAST(ROW_NUMBER()
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS n_so_far
+FROM events
+WHERE event_type = 'purchase'
+""",
+    survey="E-frame,H-date,D1",
+    # suite-only: window family gated via session_stats / tumbling / top2
+    gate=False,
+)
+def running_user_spend(spark, sf_dir):
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.sum(_cents("value")).over(frame).cast("long").alias("run_cents"),
+        F.row_number().over(wo).cast("long").alias("n_so_far"),
+    )
