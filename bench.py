@@ -228,6 +228,11 @@ HEADLINE = [
     "interval_overlap_best",
     "text_quality_stats",
     "multimodal_decode_features",
+    # r4 mid-round additions: connected-components dedup clusters, as-of
+    # join, TF-IDF — the new operator classes, benched from day one
+    "dedup_clusters",
+    "attribution_last_touch",
+    "tfidf_top_terms",
 ]
 
 
