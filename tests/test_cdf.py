@@ -175,3 +175,44 @@ def test_read_changes_consumer_checkpoint_loop(spark, tmp_path):
             seen[r["doc_id"]] = (r["_last_lsn"], r["_change_type"])
         cursor = head
     assert seen == _last_versions(pdf, pdf["lsn"] > 0)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_read_changes_across_schema_evolution(spark, tmp_path, mode):
+    """CDF across a mid-stream producer upgrade: the from-snapshot predates
+    the (lang, quality) columns; the feed carries the CURRENT schema, old
+    keys surface with nulls in the new fields, and the (key, lsn) diff is
+    unaffected by the evolution commit itself."""
+    cfg = EventGenConfig(n_docs=80, n_events=1200, n_epochs=4, seed=21, v2_from_epoch=2)
+    tbl = generate_change_events(cfg)
+    src = str(tmp_path / "events")
+    write_events_by_epoch(tbl, src)
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), apply_mode=mode)
+    snaps = []
+    for ep in range(4):
+        r = pipe.apply_epoch(spark.read.parquet(f"{src}/epoch={ep}"), epoch_id=ep)
+        snaps.append(r.snapshot_id)
+
+    pdf = tbl.to_pandas()
+    feed = pipe.read_changes(from_snapshot_id=snaps[1])  # pre-evolution cursor
+    assert "lang" in feed.columns and "quality" in feed.columns
+    got = {
+        r["doc_id"]: (r["_last_lsn"], r["_change_type"])
+        for r in feed.select("doc_id", "_last_lsn", "_change_type").collect()
+    }
+    assert got == _expected_diff(
+        _last_versions(pdf, pdf["epoch_hint"] <= 1),
+        _last_versions(pdf, pdf["epoch_hint"] <= 3),
+    )
+    # rows whose current version predates the upgrade read null new fields;
+    # post-upgrade upserts carry real values
+    by_lsn = {r["_last_lsn"]: r for r in feed.collect()}
+    v2_lsns = set(pdf[pdf["epoch_hint"] >= 2]["lsn"])
+    for lsn, row in by_lsn.items():
+        if row["_change_type"] == "delete":
+            continue
+        if lsn in v2_lsns:
+            assert row["lang"] is not None
+        else:
+            assert row["lang"] is None and row["quality"] is None
