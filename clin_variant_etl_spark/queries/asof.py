@@ -49,10 +49,17 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """All columns of ``left`` plus ``right_cols`` from the latest right row
     with ``right[right_ts] <= left[left_ts]`` per ``on`` key (null when no
-    right row precedes).  Right rows must be unique per (key, ts)."""
+    right row precedes).  Right rows must be unique per (key, ts).
+
+    ``tolerance_us`` (pandas merge_asof / kdb wj semantics): a match further
+    back than this many microseconds is nulled out.  Exact by construction —
+    the window fill picks the NEAREST preceding row, so if that one exceeds
+    the tolerance every other candidate does too; the filter is a cheap
+    post-projection, never a second pass."""
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
     r = right.select(*on, F.col(right_ts).alias("_ts"), payload, F.lit(0).alias("_side"))
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
@@ -63,7 +70,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
-    out = filled.where(F.col("_side") == 1).drop("_ts", "_side")
+    filled = filled.withColumn(
+        "_rts", F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w)
+    )
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col("_ts").cast("timestamp")) - F.unix_micros(
+            F.col("_rts").cast("timestamp")
+        )
+        filled = filled.withColumn(
+            "_r", F.when(gap <= F.lit(int(tolerance_us)), F.col("_r"))
+        )
+    out = filled.where(F.col("_side") == 1).drop("_ts", "_rts", "_side")
     for c in right_cols:
         out = out.withColumn(c, F.col("_r")[c])
     return out.drop("_r")

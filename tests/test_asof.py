@@ -45,3 +45,25 @@ def test_asof_single_shuffle_no_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     # one exchange per union branch feeding ONE window sort — no join at all
     assert "Window" in plan and "Join" not in plan
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), "near"),   # 30 min after r1 → kept
+            (1, _ts("2024-01-01T11:00:00"), "far"),    # 2h after r2 → nulled
+        ],
+        "k: long, lts: timestamp_ntz, tag: string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 100), (1, _ts("2024-01-01T09:00:01"), 200)],
+        "k: long, rts: timestamp_ntz, rid: long",
+    )
+    got = {
+        r["tag"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["rid"], tolerance_us=3600 * 1_000_000,
+        ).collect()
+    }
+    assert got == {"near": 200, "far": None}
