@@ -145,3 +145,69 @@ def tfidf_top_terms(spark, sf_dir):
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# =========================================================================
+# Exact distributed quantiles (p25 / median / p75 of doc length per lang).
+# Neither engine's quantile builtin is trusted across implementations;
+# instead BOTH sides compute the identical textbook linear interpolation
+# from explicit ranks: pos = 1 + (n-1)q; v = v_lo + (v_hi - v_lo)·frac.
+# For q ∈ {.25, .5, .75} every term is exactly representable (frac is a
+# dyadic rational, inputs are integers), so the doubles are bit-equal.
+# Plan at corpus scale: ONE shuffle on the group key, per-group sort via
+# row_number, then a 2-row-per-quantile semi-aggregation — no global sort,
+# no driver collect; this is how you get exact quantiles distributed
+# (approx_percentile is the sketch alternative when exactness can yield).
+# =========================================================================
+_QUANTILES = (25, 50, 75)
+_Q_TERMS_SQL = ", ".join(
+    f"""CAST(MAX(CASE WHEN rnk = CAST(floor(1 + (n-1)*{q / 100}) AS BIGINT) THEN v END)
+      + (MAX(CASE WHEN rnk = CAST(ceil(1 + (n-1)*{q / 100}) AS BIGINT) THEN v END)
+         - MAX(CASE WHEN rnk = CAST(floor(1 + (n-1)*{q / 100}) AS BIGINT) THEN v END))
+        * ((1 + (MAX(n)-1)*{q / 100}) - floor(1 + (MAX(n)-1)*{q / 100})) AS DOUBLE) AS p{q}"""
+    for q in _QUANTILES
+)
+
+_QUANTILE_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n, {_Q_TERMS_SQL}
+FROM ranked
+GROUP BY lang
+"""
+
+
+@query(
+    "doc_length_quantiles",
+    oracle=_QUANTILE_ORACLE,
+    survey="quantiles-exact,D1,E4,H-math",
+    gate=False,
+)
+def doc_length_quantiles(spark, sf_dir):
+    """Exact p25/p50/p75 of n_chars per language — rank-interpolation
+    formula identical on both engines (see module-section note)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("v"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in _QUANTILES:
+        pos = 1 + (F.col("n") - 1) * F.lit(q / 100)
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        v_lo = F.max(F.when(F.col("rnk") == lo, F.col("v")))
+        v_hi = F.max(F.when(F.col("rnk") == hi, F.col("v")))
+        frac = pos - F.floor(pos)
+        # frac is constant per group (function of n) — max() collapses it
+        aggs.append(
+            (v_lo + (v_hi - v_lo) * F.max(frac)).cast("double").alias(f"p{q}")
+        )
+    return ranked.groupBy("lang").agg(*aggs)
