@@ -551,3 +551,89 @@ def cdc_engine_mor_replay(spark, sf_dir):
         if epoch == 1:
             compact(spark, pipe.table, resolve_keep_latest=("doc_id", INTERNAL_LAST_LSN))
     return pipe.read_state()
+
+
+# =========================================================================
+# D-ext: multi-level grouping sets (ROLLUP) with GROUPING() disambiguation.
+# The OLAP subtotal operator: one pass emits (nation, segment), (nation),
+# and grand-total rows; grouping flags distinguish subtotal NULLs from data
+# NULLs.  Spark executes rollup as a single Expand + hash aggregate — one
+# shuffle for all three levels, not three jobs (the reason to use it over
+# three unions at 100 TB).
+# =========================================================================
+@query(
+    "rollup_customers_by_nation_segment",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
+       CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment
+FROM customer
+GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+""",
+    survey="D-rollup,D1,H-math",
+    gate=False,
+)
+def rollup_customers_by_nation_segment(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.rollup("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_acctbal_cents"),
+            F.grouping("c_nationkey").cast("long").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("long").alias("g_segment"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_customers",
+            "sum_acctbal_cents",
+            "g_nation",
+            "g_segment",
+        )
+    )
+
+
+# =========================================================================
+# D-ext: pivot (long → wide reshape).  Spark's groupBy().pivot(values=…)
+# with EXPLICIT pivot values compiles to conditional aggregates in ONE pass
+# (no values-discovery job, no second shuffle); the oracle is the identical
+# FILTER-aggregate form.  Always pin the value list at scale — the implicit
+# form runs a distinct scan first and caps at 10k values.
+# =========================================================================
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_user_event_counts",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(f"COALESCE(COUNT(*) FILTER (WHERE event_type = '{t}'), 0) AS n_{t}" for t in _EVENT_TYPES)},
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase_cents
+FROM events
+GROUP BY user_id
+""",
+    survey="D-pivot,D1,D2",
+    gate=False,
+)
+def pivot_user_event_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+        F.col("purchase_cents").cast("long").alias("purchase_cents"),
+    )
