@@ -40,3 +40,25 @@ def test_no_cartesian_or_unsanctioned_bnlj(spark, name):
             f"{name} plans a BroadcastNestedLoopJoin; if this is a deliberate "
             "small-broadcast linear sweep, add it to BNLJ_OK with the reason"
         )
+
+
+# predicate pushdown reaching the parquet scan — {query: filter fragment
+# that must appear inside a PushedFilters list}
+PUSHDOWN = {
+    "cdc_epoch_slice": "GreaterThanOrEqual(ts",
+    "q1_pricing_summary": "LessThanOrEqual(l_shipdate",
+    "attribution_last_touch": "EqualTo(event_type,purchase)",
+    "running_user_spend": "EqualTo(event_type,purchase)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN))
+def test_filters_reach_the_scan(spark, name):
+    df = ALL[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert PUSHDOWN[name] in pushed, (
+        f"{name}: expected '{PUSHDOWN[name]}' inside PushedFilters; got: {pushed!r}"
+    )
