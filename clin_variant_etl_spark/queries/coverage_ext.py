@@ -637,3 +637,27 @@ def pivot_user_event_counts(spark, sf_dir):
         *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
         F.col("purchase_cents").cast("long").alias("purchase_cents"),
     )
+
+
+# =========================================================================
+# D-ext: sketch aggregation — HyperLogLog++ approximate distinct counts.
+# The scale alternative every exact-count docstring in this repo points at:
+# when the distinct set itself outgrows a shuffle (unique users at web
+# scale), the HLL sketch is fixed-size per group and merges associatively
+# (partial aggregation stays map-side).  No SQL oracle by design — sketch
+# estimates are engine-specific — so this rides the driver's rows-only
+# contract; the ERROR BOUND is pinned by tests/test_sketches.py against the
+# exact count (rsd=0.01 ⇒ observed error ≪ 5%).
+# =========================================================================
+@query(
+    "approx_distinct_users_by_type",
+    oracle=None,
+    survey="D-sketch,D1",
+    gate=False,
+)
+def approx_distinct_users_by_type(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
