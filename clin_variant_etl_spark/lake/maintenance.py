@@ -26,8 +26,20 @@ def compact(
     partitions: list[str] | None = None,
     at_snapshot_id: int | None = None,
     resolve_keep_latest: tuple[str, str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> Snapshot:
     """Small-files compaction with bin-packing and per-partition selection.
+
+    ``cluster_by`` (requires ``target_file_bytes``): instead of spreading a
+    partition's rows across its k output files by content hash, RANGE-split
+    them on these columns (ntile over a per-partition total order), so each
+    file covers a narrow value span and its manifest min/max (recorded via
+    ``stats_cols``) actually prunes — ``read(stats_filter=…)`` then opens
+    O(selectivity) files instead of all of them.  A hash split gives every
+    file the full value range; clustering is what makes stats skipping
+    effective on a compacted table (Iceberg's sort-order rewrite, Delta's
+    OPTIMIZE ZORDER at 1 dimension).  The ntile order is totalized with the
+    content hash so task retries reproduce the identical layout.
 
     Selection (reference compacts per chromosome, not whole tables —
     etl/normalized/Consequences.scala:135-138): only partitions with
@@ -112,6 +124,9 @@ def compact(
         else:
             df = df.where(~dead)
 
+    if cluster_by is not None and not target_file_bytes:
+        raise ValueError("cluster_by requires target_file_bytes (it shapes the file split)")
+
     split = None
     if target_file_bytes:
         # per-partition output-file count from current on-disk bytes; the
@@ -136,13 +151,31 @@ def compact(
             kmap = F.create_map(
                 *[x for p, k in sorted(k_of.items()) for x in (F.lit(p), F.lit(k))]
             )
-            split = F.pmod(row_hash, kmap[pexpr])
+            k_expr = kmap[pexpr]
         else:
             total = _bytes(snap.files)
-            k = max(1, -(-total // target_file_bytes))
-            split = F.pmod(row_hash, F.lit(k))
+            k_expr = F.lit(max(1, -(-total // target_file_bytes)))
+            pexpr = F.lit(0)
+        if cluster_by is not None:
+            from pyspark.sql import Window
 
-    files = table.write_data_files(df, snap.schema_id, spec, split_expr=split)
+            # range split: file id = ntile(k) over the cluster order.  The
+            # order is totalized by the content hash so speculative retries
+            # reproduce the layout; ntile needs a literal bucket count per
+            # window, so rank is scaled manually against the partition size.
+            w = Window.partitionBy(pexpr).orderBy(
+                *[F.col(c) for c in cluster_by], row_hash
+            )
+            rnk = F.row_number().over(w) - 1
+            n_rows = F.count(F.lit(1)).over(Window.partitionBy(pexpr))
+            split = F.floor(rnk * k_expr / n_rows).cast("int")
+        else:
+            split = F.pmod(row_hash, k_expr)
+
+    stats_cols = tuple(cluster_by) if cluster_by else ()
+    files = table.write_data_files(
+        df, snap.schema_id, spec, split_expr=split, stats_cols=stats_cols
+    )
     if selective:
         return table.commit(
             "compact", files, replace_partitions=replace, expected_parent=snap.snapshot_id
