@@ -661,3 +661,25 @@ def event_props_json(spark, sf_dir):
             (F.sum(k).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_k"),
         )
     )
+
+
+# =========================================================================
+# G-ext: INTERSECT — the set-op family's missing member (G1 union,
+# G3 except above).  Spark compiles intersect to a left-semi join over
+# distinct inputs — same shuffle shape as the except/anti pair.
+# =========================================================================
+@query(
+    "brands_both_expensive_and_large",
+    oracle="""
+SELECT p_brand AS brand FROM part WHERE p_retailprice > 1200
+INTERSECT
+SELECT p_brand AS brand FROM part WHERE p_size >= 40
+""",
+    survey="G-intersect,G3,B2",
+    gate=False,
+)
+def brands_both_expensive_and_large(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    hi = p.where(F.col("p_retailprice") > 1200).select(F.col("p_brand").alias("brand"))
+    lg = p.where(F.col("p_size") >= 40).select(F.col("p_brand").alias("brand"))
+    return hi.intersect(lg)
