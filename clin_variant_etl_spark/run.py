@@ -49,6 +49,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--n-salts", type=int, default=16)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--apply-mode",
+        choices=["cow", "mor"],
+        default="cow",
+        help="cow = copy-on-write merge; mor = delta-file commits "
+        "(write cost ~ epoch delta; fold via maintenance.compact)",
+    )
+    p.add_argument(
+        "--dedup-variant",
+        choices=["auto", "join", "salted", "window", "pandas"],
+        default="auto",
+        help="keep-latest-within-key strategy; auto = measured cost model",
+    )
     p.add_argument("--app-name", default="cdc-lake-apply")
     args = p.parse_args(argv)
 
@@ -62,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_path=args.checkpoint_table,
         key_col=args.key_col,
         n_salts=args.n_salts,
+        apply_mode=args.apply_mode,
+        dedup_variant=args.dedup_variant,
     )
     stream = StreamingCdc(
         spark,
