@@ -131,3 +131,59 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# The flagship property: a RANDOM event log (ops, keys, duplicate
+# redeliveries, arbitrary epoch placement = late delivery) applied through
+# the real pipeline equals the last-writer-wins oracle computed in pure
+# python.  Complements tests/test_matrix.py's hand-written case table with
+# hypothesis-shrunk adversarial sequences, in both apply modes.
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow, HealthCheck.data_too_large])
+@given(
+    data=st.lists(  # (key, op_code 0=I/1=U/2=D, epoch, duplicate?)
+        st.tuples(st.integers(0, 4), st.integers(0, 2), st.integers(0, 2),
+                  st.booleans()),
+        min_size=1,
+        max_size=18,
+    ),
+    apply_mode=st.sampled_from(["cow", "mor"]),
+)
+def test_random_event_log_matches_lww_oracle(spark, tmp_path_factory, data, apply_mode):
+    ops = "IUD"
+    events = []  # (epoch, lsn, op, key, tokens)
+    for lsn, (k, oc, ep, dup) in enumerate(data, start=1):
+        op = ops[oc]
+        toks = [lsn] if op != "D" else None
+        events.append((ep, lsn, op, f"doc{k}", toks))
+        if dup:
+            events.append((min(ep + 1, 2), lsn, op, f"doc{k}", toks))
+
+    # pure-python last-writer-wins oracle (dedup by lsn, max lsn per key wins)
+    best = {}
+    for _, lsn, op, key, toks in events:
+        if key not in best or lsn > best[key][0]:
+            best[key] = (lsn, op, toks)
+    want = {k: toks for k, (_, op, toks) in best.items() if op != "D"}
+
+    tmp = tmp_path_factory.mktemp("prop_cdc")
+    from clin_variant_etl_spark.engine import CdcPipeline, create_cdc_table
+    from clin_variant_etl_spark.schemas import BASE_DOCS_SCHEMA
+
+    create_cdc_table(str(tmp / "docs"), BASE_DOCS_SCHEMA, n_buckets=2)
+    pipe = CdcPipeline(spark, str(tmp / "docs"), apply_mode=apply_mode)
+    for k, epoch in enumerate(sorted({e[0] for e in events})):
+        rows = [
+            (lsn, op, key, toks, len(toks) if toks else None, "web" if toks else None)
+            for (ep, lsn, op, key, toks) in events
+            if ep == epoch
+        ]
+        df = spark.createDataFrame(
+            rows, "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+        )
+        pipe.apply_epoch(df, k)
+    got = {r["doc_id"]: r["tokens"] for r in pipe.read_state().collect()}
+    assert got == want
