@@ -156,6 +156,11 @@ def _stats_may_match(entry: dict, stats_filter: dict[str, tuple]) -> bool:
         if not rng or rng[0] is None or rng[1] is None:
             continue
         fmin, fmax = rng
+        if isinstance(fmin, (str, bytes)) or isinstance(fmax, (str, bytes)):
+            # parquet writers may TRUNCATE string min/max (a truncated max
+            # sorts below the true max) — pruning on them could wrongly drop
+            # a file, so string-stat columns always keep the file
+            continue
         if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
             return False
     return True

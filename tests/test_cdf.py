@@ -216,3 +216,12 @@ def test_read_changes_across_schema_evolution(spark, tmp_path, mode):
             assert row["lang"] is not None
         else:
             assert row["lang"] is None and row["quality"] is None
+
+
+def test_stats_may_match_string_stats_never_prune():
+    # parquet string min/max may be truncated by the writer — a truncated
+    # max sorts below the true max, so pruning on string stats could
+    # WRONGLY drop a file; they must always keep it
+    e = {"stats": {"source": ["aaa", "mmm"]}}
+    assert _stats_may_match(e, {"source": ("zzz", None)})
+    assert _stats_may_match(e, {"source": (None, "AAA")})
