@@ -51,7 +51,11 @@ class CdfConsumer:
             self.cursor_path, json.dumps({"snapshot_id": snapshot_id}).encode()
         )
 
-    def drain(self, handler: Callable[[DataFrame], None]) -> dict:
+    def drain(
+        self,
+        handler: Callable[[DataFrame], None],
+        on_expired_cursor: str = "resync",
+    ) -> dict:
         """One drain cycle: feed = read_changes(cursor → current head), call
         ``handler(feed)``, then advance the cursor.  Returns a summary dict.
 
@@ -59,12 +63,32 @@ class CdfConsumer:
         receives the DataFrame lazily — if it never triggers an action the
         batch is still considered handled, matching foreachBatch semantics.
         A no-op head (cursor already at head) skips the handler entirely.
+
+        ``on_expired_cursor``: if ``expire_snapshots`` has deleted the
+        cursor's snapshot, the incremental diff is unrecoverable (same as
+        Iceberg CDF past expiry).  "resync" (default) re-delivers the FULL
+        current per-key state as one batch (from=None — correct for any
+        keyed-idempotent handler, though deletes tombstone-GC'd in the gap
+        are not observable) and reports ``resynced: True``; "raise"
+        propagates, for consumers that must not reprocess history.
         """
         start = self.cursor()
+        resynced = False
+        if start is not None and start not in self.pipeline.table.snapshot_ids():
+            if on_expired_cursor != "resync":
+                raise LookupError(
+                    f"cursor snapshot {start} has been expired; incremental "
+                    "diff unrecoverable — re-sync from a full read or pass "
+                    "on_expired_cursor='resync'"
+                )
+            start, resynced = None, True
         head = self.pipeline.table.current_snapshot().snapshot_id
         if start == head:
             return {"from": start, "to": head, "handled": False}
         feed = self.pipeline.read_changes(from_snapshot_id=start, to_snapshot_id=head)
         handler(feed)
         self._advance(head)
-        return {"from": start, "to": head, "handled": True}
+        out = {"from": start, "to": head, "handled": True}
+        if resynced:
+            out["resynced"] = True
+        return out

@@ -30,16 +30,18 @@ def compact(
 ) -> Snapshot:
     """Small-files compaction with bin-packing and per-partition selection.
 
-    ``cluster_by`` (requires ``target_file_bytes``): instead of spreading a
-    partition's rows across its k output files by content hash, RANGE-split
-    them on these columns (ntile over a per-partition total order), so each
-    file covers a narrow value span and its manifest min/max (recorded via
-    ``stats_cols``) actually prunes — ``read(stats_filter=…)`` then opens
-    O(selectivity) files instead of all of them.  A hash split gives every
-    file the full value range; clustering is what makes stats skipping
-    effective on a compacted table (Iceberg's sort-order rewrite, Delta's
-    OPTIMIZE ZORDER at 1 dimension).  The ntile order is totalized with the
-    content hash so task retries reproduce the identical layout.
+    ``cluster_by`` (one column; requires ``target_file_bytes``): instead of
+    spreading a partition's rows across its k output files by content hash,
+    RANGE-split them on this column so each file covers a narrow value span
+    and its manifest min/max (recorded via ``stats_cols``) actually prunes —
+    ``read(stats_filter=…)`` then opens O(selectivity) files instead of all
+    of them.  A hash split gives every file the full value range; clustering
+    is what makes stats skipping effective on a compacted table (Iceberg's
+    sort-order rewrite, Delta's OPTIMIZE ZORDER at 1 dimension).  The split
+    is a map-side boundary count against per-partition quantile cut points
+    computed ONCE and inlined as literals — no per-partition sort task (a
+    window/ntile formulation would funnel each partition through one task),
+    and retries can never recompute a different layout mid-job.
 
     Selection (reference compacts per chromosome, not whole tables —
     etl/normalized/Consequences.scala:135-138): only partitions with
@@ -157,18 +159,42 @@ def compact(
             k_expr = F.lit(max(1, -(-total // target_file_bytes)))
             pexpr = F.lit(0)
         if cluster_by is not None:
-            from pyspark.sql import Window
-
-            # range split: file id = ntile(k) over the cluster order.  The
-            # order is totalized by the content hash so speculative retries
-            # reproduce the layout; ntile needs a literal bucket count per
-            # window, so rank is scaled manually against the partition size.
-            w = Window.partitionBy(pexpr).orderBy(
-                *[F.col(c) for c in cluster_by], row_hash
-            )
-            rnk = F.row_number().over(w) - 1
-            n_rows = F.count(F.lit(1)).over(Window.partitionBy(pexpr))
-            split = F.floor(rnk * k_expr / n_rows).cast("int")
+            if len(cluster_by) != 1:
+                raise ValueError("cluster_by supports exactly one column")
+            c = cluster_by[0]
+            # range split WITHOUT a per-partition sort task: per-partition
+            # quantile boundaries are computed once in a separate action,
+            # collected, and inlined as literals — the split itself is then
+            # a map-side boundary count (fully parallel; a window/ntile
+            # formulation would funnel each partition through ONE task).
+            # Literal boundaries are also what makes retries safe: write
+            # tasks can never recompute a different layout mid-job.
+            GRID = 64  # boundary resolution; k_p <= GRID boundaries reused
+            probs = [i / GRID for i in range(1, GRID)]
+            grp = (pexpr.cast("string") if selective else F.lit("0")).alias("_p")
+            brows = {
+                r["_p"]: r["_q"]
+                for r in df.groupBy(grp)
+                .agg(F.percentile_approx(F.col(c), probs, 10_000).alias("_q"))
+                .collect()
+            }
+            if selective:
+                k_for = {p: k_of.get(p, 1) for p in brows}
+            else:
+                k_all = max(1, -(-_bytes(snap.files) // target_file_bytes))
+                k_for = {p: k_all for p in brows}
+            bounds_map_items = []
+            for p, grid in brows.items():
+                k_p = min(k_for.get(p, 1), GRID)
+                cuts = [grid[j * GRID // k_p - 1] for j in range(1, k_p)] if grid else []
+                bounds_map_items.append(
+                    (F.lit(p), F.array(*[F.lit(v) for v in cuts]) if cuts
+                     else F.array().cast(f"array<{df.schema[c].dataType.simpleString()}>"))
+                )
+            bmap = F.create_map(*[x for kv in bounds_map_items for x in kv])
+            key = pexpr.cast("string") if selective else F.lit("0")
+            my_bounds = F.element_at(bmap, key)
+            split = F.size(F.filter(my_bounds, lambda b: F.col(c) > b))
         else:
             split = F.pmod(row_hash, k_expr)
 

@@ -61,7 +61,12 @@ def asof_join(
     the tolerance every other candidate does too; the filter is a cheap
     post-projection, never a second pass."""
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
-    r = right.select(*on, F.col(right_ts).alias("_ts"), payload, F.lit(0).alias("_side"))
+    # a NULL right ts can never satisfy right_ts <= left_ts, but nulls_first
+    # ordering would otherwise make it the "earliest" row and leak its
+    # payload into left rows with no real predecessor — drop them up front
+    r = right.where(F.col(right_ts).isNotNull()).select(
+        *on, F.col(right_ts).alias("_ts"), payload, F.lit(0).alias("_side")
+    )
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (

@@ -58,9 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--dedup-variant",
-        choices=["auto", "join", "salted", "window", "pandas"],
+        choices=["auto", "join", "salted"],
         default="auto",
-        help="keep-latest-within-key strategy; auto = measured cost model",
+        help="keep-latest-within-key strategy; auto = measured cost model "
+        "(window/pandas variants exist in engine.dedup for tests but are "
+        "not pipeline options)",
     )
     p.add_argument("--app-name", default="cdc-lake-apply")
     args = p.parse_args(argv)

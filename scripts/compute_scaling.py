@@ -43,8 +43,16 @@ def gen_corpus(n_docs: int, out_dir: str, n_files: int = 16) -> str:
     so jaccard/minhash/simhash produce candidates; Zipf word frequencies so
     the MAX_DF shingle cap and the LSH bucket caps are exercised."""
     path = os.path.join(out_dir, "documents.parquet")
+    marker = os.path.join(out_dir, f".corpus_n{n_docs}_seed{SEED}")
     if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
-        return out_dir
+        if os.path.exists(marker):
+            return out_dir
+        raise SystemExit(
+            f"{out_dir} holds a corpus generated with DIFFERENT parameters "
+            f"(no {os.path.basename(marker)} marker) — benchmarking it would "
+            "mislabel the report; point SPARK_GRAFT_COMPUTE_CORPUS elsewhere "
+            "or delete the directory"
+        )
     os.makedirs(path, exist_ok=True)
     rng = np.random.default_rng(SEED)
     vocab = np.array([f"w{j:04d}" for j in range(4000)])
@@ -84,6 +92,7 @@ def gen_corpus(n_docs: int, out_dir: str, n_files: int = 16) -> str:
         sl = tbl.slice(f * per, per)
         if sl.num_rows:
             pq.write_table(sl, os.path.join(path, f"part-{f:03d}.parquet"))
+    open(marker, "w").close()
     return out_dir
 
 

@@ -67,3 +67,18 @@ def test_asof_tolerance(spark):
         ).collect()
     }
     assert got == {"near": 200, "far": None}
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    # a right row with NULL ts must not leak its payload into left rows
+    # that have no true predecessor (nulls_first ordering hazard)
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T08:00:00"), "x")], "k: long, lts: timestamp_ntz, tag: string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999)], "k: long, rts: timestamp_ntz, rid: long"
+    )
+    got = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["rid"]
+    ).collect()
+    assert got[0]["rid"] is None

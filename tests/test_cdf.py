@@ -60,21 +60,8 @@ def test_stats_filter_prunes_files(spark, tmp_path):
     assert pipe.table.read(spark, stats_filter={"_last_lsn": (hi + 1, None)}).count() == 0
 
 
-def _last_versions(events_pdf: pd.DataFrame, delivered_mask) -> dict:
-    ev = (
-        events_pdf[delivered_mask]
-        .drop_duplicates(subset=["lsn"])
-        .sort_values("lsn", kind="stable")
-    )
-    last = ev.groupby("doc_id", as_index=False, sort=False).tail(1)
-    return {
-        r["doc_id"]: (int(r["lsn"]), "delete" if r["op"] == "D" else "upsert")
-        for _, r in last.iterrows()
-    }
-
-
-def _expected_diff(old: dict, new: dict) -> dict:
-    return {k: v for k, v in new.items() if old.get(k) != v}
+from tests.feed_oracle import expected_diff as _expected_diff
+from tests.feed_oracle import last_versions as _last_versions
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])

@@ -17,13 +17,7 @@ from clin_variant_etl_spark.testgen import (
 )
 
 
-def _last_versions(pdf: pd.DataFrame) -> dict:
-    ev = pdf.drop_duplicates(subset=["lsn"]).sort_values("lsn", kind="stable")
-    last = ev.groupby("doc_id", as_index=False, sort=False).tail(1)
-    return {
-        r["doc_id"]: (int(r["lsn"]), "delete" if r["op"] == "D" else "upsert")
-        for _, r in last.iterrows()
-    }
+from tests.feed_oracle import last_versions as _last_versions
 
 
 def test_consumer_drain_redeliver_idle(spark, tmp_path):
@@ -74,3 +68,38 @@ def test_consumer_drain_redeliver_idle(spark, tmp_path):
     resumed = CdfConsumer(pipe, str(tmp_path / "cursor.json"))
     assert not resumed.drain(lambda f: seen2.update({1: 1}))["handled"]
     assert seen2 == {}
+
+
+def test_consumer_expired_cursor_resync(spark, tmp_path):
+    """expire_snapshots deleting the cursor's snapshot must not wedge the
+    consumer: default policy re-delivers the full current state once;
+    'raise' surfaces a LookupError for strict consumers."""
+    from clin_variant_etl_spark.lake.maintenance import expire_snapshots
+
+    cfg = EventGenConfig(n_docs=40, n_events=400, n_epochs=4, seed=41)
+    tbl = generate_change_events(cfg)
+    src = str(tmp_path / "events")
+    write_events_by_epoch(tbl, src)
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=2)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"))
+    consumer = CdfConsumer(pipe, str(tmp_path / "cursor.json"))
+
+    pipe.apply_epoch(spark.read.parquet(f"{src}/epoch=0"), epoch_id=0)
+    consumer.drain(lambda f: f.count())
+    for ep in (1, 2, 3):
+        pipe.apply_epoch(spark.read.parquet(f"{src}/epoch={ep}"), epoch_id=ep)
+    expire_snapshots(pipe.table, keep_last=2)  # cursor's snapshot now gone
+
+    with pytest.raises(LookupError, match="expired"):
+        consumer.drain(lambda f: f.count(), on_expired_cursor="raise")
+
+    seen: dict = {}
+    s = consumer.drain(
+        lambda f: seen.update(
+            {r["doc_id"]: (r["_last_lsn"], r["_change_type"]) for r in f.collect()}
+        )
+    )
+    assert s["handled"] and s.get("resynced") and s["from"] is None
+    assert seen == _last_versions(tbl.to_pandas())
+    # next drain is a normal incremental no-op
+    assert not consumer.drain(lambda f: f.count())["handled"]

@@ -93,16 +93,15 @@ def test_stream_mor_compact_publish_qc_resume(spark, tmp_path):
 
     # CDF from the published ref to head = exactly epoch 2's net effect,
     # verified against the mock-source event log's per-key diff
+    from tests.feed_oracle import last_versions
+
     def _last_versions(upto):
-        ev = pd.DataFrame(
-            [mock_source.event_for_seq(q, N_DOCS) for q in range(upto)],
-            columns=["lsn", "op", "doc_id", "tokens", "n_tok", "source"],
-        ).drop_duplicates(subset=["lsn"]).sort_values("lsn", kind="stable")
-        last = ev.groupby("doc_id", as_index=False, sort=False).tail(1)
-        return {
-            r["doc_id"]: (int(r["lsn"]), "delete" if r["op"] == "D" else "upsert")
-            for _, r in last.iterrows()
-        }
+        return last_versions(
+            pd.DataFrame(
+                [mock_source.event_for_seq(q, N_DOCS) for q in range(upto)],
+                columns=["lsn", "op", "doc_id", "tokens", "n_tok", "source"],
+            )
+        )
 
     old_v, new_v = _last_versions(800), _last_versions(1200)
     feed = {
