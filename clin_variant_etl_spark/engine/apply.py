@@ -260,7 +260,10 @@ class CdcPipeline:
         return df
 
     def read_changes(
-        self, from_snapshot_id: int | None = None, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+        include_pre_images: bool = False,
     ) -> DataFrame:
         """Change-data-feed read: every key whose current version differs
         between two snapshots — upserts with their payload, deletes as
@@ -286,6 +289,22 @@ class CdcPipeline:
         dropped by the lsn-horizon GC are no longer observable, so a
         consumer further behind than the horizon must re-sync from a full
         read_state.
+
+        ``include_pre_images=True`` switches to the Delta-CDF row taxonomy
+        needed by retraction-based consumers (incremental materialized-view
+        maintenance, engine/matview.py):
+
+        - ``insert``           — post-image of a key absent (or dead) at ``from``
+        - ``update_postimage`` — post-image of a key live at both snapshots
+        - ``update_preimage``  — the SAME key's payload as of ``from``
+        - ``delete``           — the PRE-image payload of a key live at
+          ``from`` and dead at ``to`` (the tombstone's own payload is not
+          the retractable contribution; the old row's is)
+
+        A key born and deleted inside the window emits nothing (net-zero
+        contribution).  Pre-image rows carry their OLD ``_last_lsn``.  Both
+        sides of the pre/post join are pruned to the changed buckets, so
+        cost stays O(changed buckets).
         """
         to_snap = (
             self.table.snapshot(to_snapshot_id)
@@ -300,7 +319,8 @@ class CdcPipeline:
         change_type = F.when(deleted, F.lit("delete")).otherwise(F.lit("upsert"))
         if not fresh:
             base = self.table.read(self.spark, snapshot_id=to_snap.snapshot_id).limit(0)
-            return base.withColumn("_change_type", change_type).drop(INTERNAL_DELETED)
+            ct = F.lit("insert") if include_pre_images else change_type
+            return base.withColumn("_change_type", ct).drop(INTERNAL_DELETED)
         pf = None
         spec = to_snap.partition_spec
         if spec and all(p.name in f["partition"] for p in spec for f in fresh):
@@ -311,7 +331,39 @@ class CdcPipeline:
                 self.key_col, INTERNAL_LAST_LSN
             )
             new_state = new_state.join(old_pairs, [self.key_col, INTERNAL_LAST_LSN], "left_anti")
-        return new_state.withColumn("_change_type", change_type).drop(INTERNAL_DELETED)
+        if not include_pre_images:
+            return new_state.withColumn("_change_type", change_type).drop(INTERNAL_DELETED)
+        if from_snapshot_id is None:
+            # full history: every live key is a plain insert, nothing to retract
+            return (
+                new_state.where(~deleted)
+                .withColumn("_change_type", F.lit("insert"))
+                .drop(INTERNAL_DELETED)
+            )
+        old_vis = self._read_resolved(from_snapshot_id, partition_filter=pf)
+        old_vis = old_vis.where(~F.coalesce(F.col(INTERNAL_DELETED), F.lit(False))).drop(
+            INTERNAL_DELETED
+        )
+        chg_keys = new_state.select(
+            self.key_col,
+            F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)).alias("__was_delete"),
+        )
+        pre = old_vis.join(chg_keys, self.key_col, "inner")
+        pre_out = pre.withColumn(
+            "_change_type",
+            F.when(F.col("__was_delete"), F.lit("delete")).otherwise(F.lit("update_preimage")),
+        ).drop("__was_delete")
+        pre_keys = pre.select(self.key_col).withColumn("__had_pre", F.lit(True))
+        post = new_state.where(~deleted).drop(INTERNAL_DELETED)
+        post_out = (
+            post.join(pre_keys, self.key_col, "left")
+            .withColumn(
+                "_change_type",
+                F.when(F.col("__had_pre"), F.lit("update_postimage")).otherwise(F.lit("insert")),
+            )
+            .drop("__had_pre")
+        )
+        return post_out.unionByName(pre_out)
 
     def last_epoch_id(self) -> int:
         return int(self.table.properties().get("last_epoch_id", -1))
