@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import posixpath
 import threading
+import time
 import uuid
 
 
@@ -73,6 +74,11 @@ class FileIO:
         raise NotImplementedError
 
     def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds) — the orphan-GC grace clock.
+        Object stores expose this as the object's Last-Modified header."""
         raise NotImplementedError
 
     def cleanup_empty_dirs(self, path: str) -> None:
@@ -138,9 +144,17 @@ class LocalFileIO(FileIO):
     def size(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
     def cleanup_empty_dirs(self, path: str) -> None:
-        for root, dirs, files in os.walk(path, topdown=False):
-            if root != path and not dirs and not files:
+        # bottom-up unconditional rmdir: a parent emptied by its child's
+        # removal in this same walk must also go (os.walk's topdown=False
+        # `dirs` list predates the child deletions, so checking it would
+        # leave freshly-emptied parents behind); rmdir on a non-empty dir
+        # just raises and is skipped
+        for root, _dirs, _files in os.walk(path, topdown=False):
+            if root != path:
                 try:
                     os.rmdir(root)
                 except OSError:
@@ -161,6 +175,7 @@ class MemoryFileIO(FileIO):
 
     def __init__(self) -> None:
         self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
         self._dirs: set[str] = set()
         self._lock = threading.Lock()
 
@@ -212,8 +227,10 @@ class MemoryFileIO(FileIO):
             return self._objects[p]
 
     def put_atomic(self, path: str, data: bytes) -> None:
+        p = self._norm(path)
         with self._lock:
-            self._objects[self._norm(path)] = data
+            self._objects[p] = data
+            self._mtimes[p] = time.time()
 
     def put_exclusive(self, path: str, data: bytes) -> None:
         p = self._norm(path)
@@ -221,10 +238,13 @@ class MemoryFileIO(FileIO):
             if p in self._objects:
                 raise CommitConflict(f"{p} already exists")
             self._objects[p] = data
+            self._mtimes[p] = time.time()
 
     def delete(self, path: str) -> None:
+        p = self._norm(path)
         with self._lock:
-            self._objects.pop(self._norm(path), None)
+            self._objects.pop(p, None)
+            self._mtimes.pop(p, None)
 
     def size(self, path: str) -> int:
         p = self._norm(path)
@@ -232,6 +252,13 @@ class MemoryFileIO(FileIO):
             if p not in self._objects:
                 raise FileNotFoundError(p)
             return len(self._objects[p])
+
+    def mtime(self, path: str) -> float:
+        p = self._norm(path)
+        with self._lock:
+            if p not in self._mtimes:
+                raise FileNotFoundError(p)
+            return self._mtimes[p]
 
     def cleanup_empty_dirs(self, path: str) -> None:
         pref = self._norm(path) + "/"

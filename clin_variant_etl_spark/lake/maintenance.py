@@ -211,6 +211,75 @@ def compact(
     )
 
 
+def remove_orphan_files(
+    table: LakeTable,
+    grace_seconds: float = 3 * 24 * 3600,
+    now: float | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete files under the table that no live snapshot references.
+
+    ``expire_snapshots`` GCs files that *expired* snapshots referenced; it
+    cannot see files that were never committed at all — a writer that
+    crashed between ``write_data_files`` and ``commit`` leaves a full
+    ``data/b-*/`` batch (and possibly manifest shards, or ``.tmp-*`` spill
+    from an interrupted metadata put) invisible to every snapshot but
+    still billing storage forever.  This is Iceberg's
+    ``remove_orphan_files`` / Delta ``VACUUM``'s untracked-file sweep.
+
+    Safety model (identical to Iceberg's): a file is deleted only if it is
+    (a) unreferenced by EVERY live snapshot (all of them — time travel to
+    any retained snapshot must keep working), AND (b) older than
+    ``now - grace_seconds`` by the FileIO's modification clock.  The grace
+    period is what makes the sweep safe against IN-FLIGHT writers: a
+    not-yet-committed batch is always unreferenced, but it is also always
+    younger than any sane grace window.  ``grace_seconds`` MUST exceed the
+    longest possible write→commit duration; the 3-day default mirrors
+    Iceberg's.  Tests pass ``now`` explicitly (or ``grace_seconds=0``)
+    instead of sleeping.
+
+    Only the data and manifest planes are swept.  Snapshot json files and
+    refs are reachability ROOTS, never candidates (expire_snapshots owns
+    their lifecycle); sweeping them from under a concurrent reader would
+    turn "old but valid cursor" into FileNotFoundError.
+
+    Returns the table-relative paths removed (or, with ``dry_run=True``,
+    the paths that WOULD be removed, deleting nothing).
+    """
+    import time
+
+    cutoff = (time.time() if now is None else now) - grace_seconds
+    referenced: set[str] = set()
+    for sid in table.snapshot_ids():
+        s = table.snapshot(sid)
+        for f in s.files:
+            referenced.add(os.path.normpath(f["path"]))
+        for m in s.manifests:
+            referenced.add(os.path.normpath(m["path"]))
+
+    orphans: list[str] = []
+    for root, rel_prefix in (
+        (table.data_dir, "data"),
+        (table.manifest_dir, os.path.join("_meta", "manifests")),
+    ):
+        for absf, rel in table.io.walk_files(root):
+            relpath = os.path.normpath(os.path.join(rel_prefix, rel))
+            if relpath in referenced:
+                continue
+            try:
+                if table.io.mtime(absf) >= cutoff:
+                    continue  # inside the grace window — maybe in-flight
+            except FileNotFoundError:
+                continue  # raced a concurrent delete
+            orphans.append(relpath)
+
+    if not dry_run:
+        for relpath in orphans:
+            table.io.delete(os.path.join(table.path, relpath))
+        table.io.cleanup_empty_dirs(table.data_dir)
+    return orphans
+
+
 def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
     """Delete old snapshot manifests (and their now-unreferenced manifest
     shards) and garbage-collect unreferenced data files."""

@@ -102,3 +102,21 @@ def test_cleanup_empty_dirs(io_root):
     # the emptied batch dir is gone; the populated one is not
     assert "b-1" not in io.list(f"{root}/data")
     assert "b-2" in io.list(f"{root}/data")
+
+
+def test_mtime_contract(io_root):
+    import time
+
+    io, root = io_root
+    io.makedirs(root)
+    t0 = time.time()
+    io.put_atomic(f"{root}/a.json", b"x")
+    t1 = time.time()
+    # wall-clock sandwich (1s slack for coarse fs timestamp granularity)
+    assert t0 - 1.0 <= io.mtime(f"{root}/a.json") <= t1 + 1.0
+    # overwrite refreshes the clock — orphan grace is per-WRITE, not create
+    time.sleep(0.01)
+    io.put_atomic(f"{root}/a.json", b"y")
+    assert io.mtime(f"{root}/a.json") >= t0 - 1.0
+    with pytest.raises(FileNotFoundError):
+        io.mtime(f"{root}/missing.json")

@@ -69,24 +69,30 @@ def test_no_leaked_cache_after_query(spark):
     import gc
     import time
 
-    def n_persistent() -> int:
-        return int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
+    def persistent_ids() -> set[int]:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(int(it.next()))
+        return ids
 
-    # words-level cache may or may not be live; measure around the query
+    # track RDD ids, not counts: in a shared test session another suite's
+    # blocks may be reclaimed concurrently, shifting a count baseline under
+    # us — only ids CREATED by this query matter
     from clin_variant_etl_spark.queries.textops import _words_df
 
     _words_df(spark, SF_DIR)  # ensure the words cache is counted in baseline
-    before = n_persistent()
+    before = persistent_ids()
     df = pack_chunks(spark, SF_DIR)
     assert df.count() > 0
-    assert n_persistent() > before  # the checkpointed ranged frame is live
+    assert persistent_ids() - before  # the checkpointed ranged frame is live
     del df
     deadline = time.monotonic() + 30
-    while n_persistent() > before and time.monotonic() < deadline:
+    while persistent_ids() - before and time.monotonic() < deadline:
         gc.collect()  # release the py4j handle
         spark.sparkContext._jvm.System.gc()  # let the ContextCleaner see it
         time.sleep(0.5)
-    assert n_persistent() <= before, "checkpointed frame leaked past GC"
+    assert not (persistent_ids() - before), "checkpointed frame leaked past GC"
 
 
 def test_empty_corpus_returns_empty_frame(spark, tmp_path):
