@@ -31,19 +31,49 @@ from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
 
 from .engine.apply import CdcPipeline, create_cdc_table
 from .lake.table import LakeTable
-from .schemas import BASE_DOCS_SCHEMA, CHANGE_EVENTS_SCHEMA
+from .schemas import BASE_DOCS_SCHEMA, CHANGE_EVENTS_SCHEMA, CHANGE_EVENTS_V2_SCHEMA
 from .session import build_session
 from .streaming.stream import StreamingCdc
 
 
+def _discover_event_schema(spark, events_dir: str):
+    """Schema discovery at stream start (the Auto Loader posture).
+
+    Spark's file stream requires a pinned schema, so a producer upgrade that
+    adds columns mid-log is invisible until the stream restarts — at which
+    point this unions every parquet footer currently in the log
+    (mergeSchema) so the widened contract is picked up and pre-upgrade
+    files read the new columns as null.  Falls back to the v1 contract when
+    the log is still empty.  ``--event-schema v1|v2`` pins instead (a
+    production deployment that controls its producer contract should pin).
+    """
+    try:
+        return (
+            spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(events_dir)
+            .schema
+        )
+    except Exception:
+        return CHANGE_EVENTS_SCHEMA
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="clin_variant_etl_spark.run")
-    p.add_argument("--events-dir", required=True, help="change-event log root (parquet)")
+    p.add_argument("--events-dir", default=None, help="change-event log root (parquet)")
     p.add_argument("--table", required=True, help="target lake table path")
     p.add_argument("--lineage", default=None, help="lineage side-table path")
     p.add_argument("--checkpoint-table", default=None, help="epoch checkpoint side-table path")
-    p.add_argument("--stream-checkpoint", required=True, help="Structured Streaming checkpoint dir")
-    p.add_argument("--mode", choices=["drain", "tail"], default="drain")
+    p.add_argument("--stream-checkpoint", default=None, help="Structured Streaming checkpoint dir")
+    p.add_argument(
+        "--mode",
+        choices=["drain", "tail", "maintain"],
+        default="drain",
+        help="drain/tail ingest the event log; maintain runs the out-of-band "
+        "table-maintenance pass (compact + mor delta fold, snapshot expiry, "
+        "orphan-file GC) a production deployment schedules separately from "
+        "the ingest job so fold cost never rides the ingest critical path",
+    )
     p.add_argument("--trigger-seconds", type=int, default=30)
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--n-buckets", type=int, default=64)
@@ -64,10 +94,58 @@ def main(argv: list[str] | None = None) -> int:
         "(window/pandas variants exist in engine.dedup for tests but are "
         "not pipeline options)",
     )
+    p.add_argument(
+        "--event-schema",
+        choices=["auto", "v1", "v2"],
+        default="auto",
+        help="event-log read schema: auto = discover from the log's parquet "
+        "footers at stream start (restart picks up producer upgrades); "
+        "v1/v2 pin the declared contract",
+    )
     p.add_argument("--app-name", default="cdc-lake-apply")
+    # maintenance-pass knobs (--mode maintain)
+    p.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
+    p.add_argument("--keep-snapshots", type=int, default=2)
+    p.add_argument(
+        "--orphan-grace-hours",
+        type=float,
+        default=72.0,
+        help="minimum age before an unreferenced file is GC'd; must exceed "
+        "the longest possible in-flight write->commit duration",
+    )
+    p.add_argument(
+        "--no-fold",
+        action="store_true",
+        help="skip the mor base+delta fold during compaction (bin-pack only)",
+    )
     args = p.parse_args(argv)
+    if args.mode in ("drain", "tail") and not (args.events_dir and args.stream_checkpoint):
+        p.error(f"--mode {args.mode} requires --events-dir and --stream-checkpoint")
 
     spark = build_session(args.app_name)
+    if args.mode == "maintain":
+        from .lake import maintenance
+        from .schemas import INTERNAL_LAST_LSN
+
+        t = LakeTable(args.table)
+        fold = (
+            (args.key_col, INTERNAL_LAST_LSN)
+            if args.apply_mode == "mor" and not args.no_fold
+            else None
+        )
+        snap = maintenance.compact(
+            spark, t, target_file_bytes=args.target_file_bytes, resolve_keep_latest=fold
+        )
+        expired = maintenance.expire_snapshots(t, keep_last=args.keep_snapshots)
+        orphans = maintenance.remove_orphan_files(
+            t, grace_seconds=args.orphan_grace_hours * 3600
+        )
+        print(
+            f"maintained: compacted to snapshot {snap.snapshot_id}"
+            f"{' (mor fold)' if fold else ''}, expired {len(expired)} snapshots, "
+            f"GC'd {len(orphans)} orphan files"
+        )
+        return 0
     if not LakeTable.exists(args.table):
         create_cdc_table(args.table, BASE_DOCS_SCHEMA, key_col=args.key_col, n_buckets=args.n_buckets)
     pipe = CdcPipeline(
@@ -80,11 +158,16 @@ def main(argv: list[str] | None = None) -> int:
         apply_mode=args.apply_mode,
         dedup_variant=args.dedup_variant,
     )
+    schema = {
+        "v1": CHANGE_EVENTS_SCHEMA,
+        "v2": CHANGE_EVENTS_V2_SCHEMA,
+        "auto": None,
+    }[args.event_schema] or _discover_event_schema(spark, args.events_dir)
     stream = StreamingCdc(
         spark,
         pipe,
         events_dir=args.events_dir,
-        event_schema=CHANGE_EVENTS_SCHEMA,
+        event_schema=schema,
         checkpoint_dir=args.stream_checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
     )
