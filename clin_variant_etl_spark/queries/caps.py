@@ -18,7 +18,7 @@ active on every run — the capped path is the ONLY path, not a dark one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_BUCKET_CAP = 10_000
 
@@ -54,3 +54,25 @@ def cap_buckets(
         )
     kept = counts.where(F.col("_bucket_n") <= cap).select(*keys)
     return df.join(kept, keys, "left_semi")
+
+
+def cap_buckets_fused(
+    df: DataFrame, keys: list[str], cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Window-fused variant of :func:`cap_buckets` — identical semantics
+    (rows of over-cap buckets dropped), different plan shape: the bucket
+    count rides a window partitioned by the SAME key the downstream pair
+    join shuffles on, so the cap costs zero extra Spark jobs and the
+    window's hash partitioning is inherited by the join (no re-exchange;
+    the self-join's two identical branches collapse to a ReusedExchange).
+
+    Prefer this when ``df`` is already materialized (checkpointed band
+    frames); ``cap_buckets``' count+semi-join shape remains better when the
+    count can run on a much slimmer projection than the payload rows.
+    """
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Window as W, functions as F
 
-from .caps import cap_buckets
+from .caps import cap_buckets_fused
 from .registry import load, query
 
 N_PLANES = 8
@@ -372,8 +372,10 @@ def embed_cosine_pairs_lsh(spark, sf_dir):
     ex = n.select(
         "vec_id", "v", "nrm", F.posexplode("_bands").alias("band", "bucket")
     )
-    # bound pair fan-out: over-cap (band, bucket) groups are dropped pre-join
-    ex = cap_buckets(ex, ["band", "bucket"])
+    # bound pair fan-out: over-cap (band, bucket) groups are dropped pre-join —
+    # window-fused: the pair join must shuffle these rows on (band, bucket)
+    # anyway, so the cap rides that exchange instead of adding a count job
+    ex = cap_buckets_fused(ex, ["band", "bucket"])
     a, c = ex.alias("a"), ex.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .caps import cap_buckets
+from .caps import cap_buckets_fused
 from .registry import load, query
 
 N_PERMS = 12
@@ -316,8 +316,9 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("e"),
     ).select("doc_id", "e.band_id", "e.band_hash")
-    # bound pair fan-out: over-cap band buckets are dropped before the join
-    exploded = cap_buckets(exploded, ["band_id", "band_hash"])
+    # bound pair fan-out: over-cap band buckets are dropped before the join —
+    # window-fused so the cap adds no job and the join inherits its shuffle
+    exploded = cap_buckets_fused(exploded, ["band_id", "band_hash"])
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -453,8 +454,9 @@ def dedup_simhash_pairs(spark, sf_dir):
             )
         ).alias("e"),
     ).select("doc_id", "simhash", "e.band_id", "e.band_val")
-    # bound pair fan-out: over-cap band buckets are dropped before the join
-    bands = cap_buckets(bands, ["band_id", "band_val"])
+    # bound pair fan-out: over-cap band buckets are dropped before the join —
+    # window-fused so the cap adds no job and the join inherits its shuffle
+    bands = cap_buckets_fused(bands, ["band_id", "band_val"])
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

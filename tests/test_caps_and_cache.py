@@ -8,7 +8,7 @@ import os
 from pyspark.sql import Observation
 
 from clin_variant_etl_spark.queries import textops
-from clin_variant_etl_spark.queries.caps import cap_buckets
+from clin_variant_etl_spark.queries.caps import cap_buckets, cap_buckets_fused
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
@@ -28,6 +28,21 @@ def test_cap_buckets_drops_hot_bucket(spark):
 def test_cap_buckets_noop_under_cap(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)], "bucket string, m int")
     assert cap_buckets(df, ["bucket"], cap=100).count() == 3
+
+
+def test_cap_buckets_fused_equivalent(spark):
+    """The window-fused cap must drop exactly the rows the count+semi-join
+    variant drops, keep the schema, and drop its helper column."""
+    rows = [("hot", i) for i in range(10)] + [("cold", 0), ("cold", 1), ("lone", 0)]
+    df = spark.createDataFrame(rows, "bucket string, member int")
+    for cap in (3, 100):
+        want = sorted(
+            (r["bucket"], r["member"]) for r in cap_buckets(df, ["bucket"], cap=cap).collect()
+        )
+        got_df = cap_buckets_fused(df, ["bucket"], cap=cap)
+        assert got_df.columns == df.columns
+        got = sorted((r["bucket"], r["member"]) for r in got_df.collect())
+        assert got == want
 
 
 def test_words_cache_hit_and_clear(spark):
