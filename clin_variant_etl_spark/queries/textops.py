@@ -7,8 +7,9 @@ Design rules for oracle exactness:
 - all hashing via ``md5`` (identical lowercase-hex output both sides);
 - MinHash permutations = lexicographic min of ``md5(perm_salt || shingle)`` —
   a portable, exact minhash family (no platform hash functions);
-- SimHash uses the first 4 hex chars of ``md5(word)`` as a 16-bit hash,
-  hex decoded portably (Spark ``conv``; DuckDB ``'0x…'::INT``);
+- SimHash uses the first 15 hex chars of ``md5(word)`` as a 60-bit hash
+  (the industry 64-bit shape clipped to signed-int64-safe width), hex
+  decoded portably (Spark ``conv``; DuckDB ``'0x…'::BIGINT``);
 - Jaccard thresholds are integer cross-multiplications (no float compare).
 
 At 100 TB the shingle→doc inverted index is the shuffle-heavy step: the
@@ -336,20 +337,28 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 # =========================================================================
-# SimHash — 16-bit signature from word-level md5 hashes; near-dup pairs by
-# hamming distance ≤ 2 (brute-force verify over LSH-style band prefilter
-# would be the 100 TB path; at sf scale the signature table is tiny).
+# SimHash — 60-bit signature from word-level md5 hashes (the industry shape
+# is 64-bit; 60 = 15 hex digits keeps the value inside SIGNED int64 on both
+# engines, avoiding unsigned-wrap divergence).  A narrow signature makes
+# band buckets degenerate: at 16 bits / 4-bit bands the hottest band bucket
+# held 42% of the sf0.1 corpus and the prefilter emitted 8.5M candidate
+# pairs; at 60 bits / 15-bit bands the same corpus yields 277k — the band
+# join is only the 100-TB path when the band space is wide enough that
+# bucket occupancy tracks true near-duplicates, not signature-bit bias.
 # =========================================================================
+SIMHASH_BITS = 60
+# bit i of the signature is set iff the +1/-1 vote sum is positive, i.e.
+# 2 * (count of ones) > (token count) — one shared COUNT instead of 60
+# branchy CASE aggregates (integer-exact, tie → unset, both engines)
 _simhash_bits_sql = " + ".join(
-    f"CASE WHEN (CAST(SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT)) > 0 "
-    f"THEN {1 << i} ELSE 0 END"
-    for i in range(16)
+    f"CASE WHEN 2 * SUM((h >> {i}) & 1) > COUNT(*) THEN {1 << i} ELSE 0 END"
+    for i in range(SIMHASH_BITS)
 )
 _SIMHASH_ORACLE = f"""
 WITH words AS (
   SELECT doc_id, {_words_sql("text")} AS ws FROM documents
 ), toks AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(w.w), 1, 4)) AS BIGINT) AS h
+  SELECT doc_id, CAST(('0x' || substr(md5(w.w), 1, 15)) AS BIGINT) AS h
   FROM words, LATERAL unnest(ws) AS w(w)
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -360,24 +369,23 @@ GROUP BY doc_id
 
 
 def _simhash_df(spark, sf_dir):
-    """doc_id (long), simhash (long 16-bit) — shared by signature + pair queries."""
+    """doc_id (long), simhash (long, SIMHASH_BITS wide) — shared by the
+    signature and pair queries."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("w")
     ).select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
     )
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(16)
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
     sim = None
-    for i in range(16):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") * 2 > F.col("_n"), F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(
         F.col("doc_id").cast("long").alias("doc_id"), sim.cast("long").alias("simhash")
@@ -400,21 +408,26 @@ def dedup_simhash(spark, sf_dir):
 
 # =========================================================================
 # SimHash near-dup PAIRS — banded prefilter then exact popcount verify.
-# 16-bit signature → 4 bands of 4 bits; hamming ≤ 2 ⟹ ≥2 bands identical
-# (pigeonhole), so a one-band-match equi-join is a strict superset of the
-# answer: candidates shuffle on (band_id, band_val) — never all-pairs —
-# then bit_count(xor) ≤ 2 verifies exactly.  This is the 100-TB path the
-# signature query's docstring promises (band join ∝ bucket sizes).
+# 60-bit signature → 4 bands of 15 bits; hamming ≤ 3 ⟹ ≥1 band identical
+# (pigeonhole: 3 flipped bits cannot touch all 4 bands), so a
+# one-band-match equi-join is a strict superset of the answer: candidates
+# shuffle on (band_id, band_val) — never all-pairs — then
+# bit_count(xor) ≤ 3 verifies exactly.  This is the 100-TB path the
+# signature query's docstring promises (band join ∝ bucket sizes, and with
+# 15-bit bands bucket occupancy tracks true near-dups — see the signature
+# section note on why 4-bit bands degenerate).
 # =========================================================================
-SIMHASH_BANDS = 4  # 4 bits per band over the 16-bit signature
-HAMMING_MAX = 2
+SIMHASH_BANDS = 4
+BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+BAND_MASK = (1 << BAND_BITS) - 1
+HAMMING_MAX = 3  # ≤ SIMHASH_BANDS - 1, the pigeonhole guarantee
 
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH sims AS (
 {_SIMHASH_ORACLE}
 ), bands AS (
   SELECT doc_id, simhash, t.b AS band_id,
-         (simhash >> (t.b * 4)) & 15 AS band_val
+         (simhash >> (t.b * {BAND_BITS})) & {BAND_MASK} AS band_val
   FROM sims, LATERAL unnest([0, 1, 2, 3]) AS t(b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -433,7 +446,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 )
 def dedup_simhash_pairs(spark, sf_dir):
     # materialize the signature frame ONCE (2 narrow columns, 1 row/doc):
-    # the word-explode + 16 bit-sum aggregation is the expensive pass and the
+    # the word-explode + 60 bit-sum aggregation is the expensive pass and the
     # frame feeds the cap count + both self-join sides (see dedup_minhash_lsh
     # note on localCheckpoint vs persist)
     sims = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
@@ -445,8 +458,8 @@ def dedup_simhash_pairs(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("simhash"), b * 4)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright(F.col("simhash"), b * BAND_BITS)
+                        .bitwiseAND(F.lit(BAND_MASK))
                         .alias("band_val"),
                     )
                     for b in range(SIMHASH_BANDS)
