@@ -39,7 +39,8 @@ THIS round.  Slots rotate so every query gets a driver row in some round:
            embed_cosine_pairs_lsh), driver_scalar_share (the D7 scalar→lit
            pattern stays in tfidf_top_terms / multimodal's F3 count rule)
   - suite-only, new mid-r4 (codes covered by gated siblings):
-      top_tokens_per_lang, tfidf_top_terms (heavy hitters / TF-IDF)
+      top_tokens_per_lang, tfidf_top_terms (heavy hitters / TF-IDF),
+      text_repetition_stats (Gopher repetition filters)
 """
 
 from __future__ import annotations

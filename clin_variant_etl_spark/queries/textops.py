@@ -605,6 +605,100 @@ def text_language_id(spark, sf_dir):
 
 
 # =========================================================================
+# Repetition quality signals (the Gopher/RefinedWeb repetition filters):
+# per-document duplicate-word mass, duplicate-bigram mass, and the
+# character fraction occupied by the most frequent word bigram.  Plan shape
+# at 100 TB: the bigram expansion is a map-side HOF over the cached words
+# array (never a self-join), ONE shuffle on (doc_id, bigram) for the
+# counts, then the per-doc winner rides a doc_id window on the SAME rows —
+# both keys are document-local so no global hot key exists by construction.
+# Exact-match discipline: counts are longs; the single float output is one
+# IEEE division of exact integers; the top-bigram tie-break is total
+# (count desc, bigram desc) so both engines pick the identical row.
+# =========================================================================
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, n_chars, {_words_sql("text")} AS ws FROM documents
+), base AS (
+  SELECT doc_id, n_chars, ws, len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct_words
+  FROM w WHERE len(ws) >= 2
+), grams AS (
+  SELECT doc_id, n_chars, n_words, n_distinct_words,
+         ws[i] || ' ' || ws[i + 1] AS bg
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+), cnts AS (
+  SELECT doc_id, n_chars, n_words, n_distinct_words, bg, count(*) AS cnt
+  FROM grams GROUP BY ALL
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg DESC) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_distinct_bigrams
+  FROM cnts
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_words - n_distinct_words AS BIGINT) AS dup_word_cnt,
+       CAST(n_words - 1 AS BIGINT) AS n_bigrams,
+       CAST(n_words - 1 - n_distinct_bigrams AS BIGINT) AS dup_bigram_cnt,
+       CAST(cnt AS BIGINT) AS top_bigram_cnt,
+       bg AS top_bigram,
+       CAST(cnt * len(bg) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         AS top_bigram_char_frac
+FROM ranked WHERE rn = 1
+""",
+    survey="text-quality,D1,D6,E2,H-array",
+    gate=False,  # survey codes covered by gated siblings (registry 50-cap)
+)
+def text_repetition_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = _words_df(spark, sf_dir)
+    n_chars = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = w.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct_words"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("ws"), i), F.get(F.col("ws"), i + 1)
+            ),
+        ).alias("bigrams"),
+    )
+    cnts = (
+        base.select(
+            "doc_id", "n_words", "n_distinct_words", F.explode("bigrams").alias("bg")
+        )
+        .groupBy("doc_id", "n_words", "n_distinct_words", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    by_doc = Window.partitionBy("doc_id")
+    ranked = cnts.select(
+        "*",
+        F.row_number()
+        .over(by_doc.orderBy(F.desc("cnt"), F.desc("bg")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(by_doc).alias("n_distinct_bigrams"),
+    ).where(F.col("rn") == 1)
+    return ranked.join(n_chars, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        (F.col("n_words") - F.col("n_distinct_words")).alias("dup_word_cnt"),
+        (F.col("n_words") - 1).alias("n_bigrams"),
+        (F.col("n_words") - 1 - F.col("n_distinct_bigrams")).alias("dup_bigram_cnt"),
+        F.col("cnt").cast("long").alias("top_bigram_cnt"),
+        F.col("bg").alias("top_bigram"),
+        (
+            (F.col("cnt") * F.length("bg")).cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("top_bigram_char_frac"),
+    )
+
+
+# =========================================================================
 # Document fingerprinting — content md5 + winnowing-style min-hash of
 # word 5-grams (reference: sha1 deterministic row ids
 # etl/enriched/Variants.scala:119-120).
