@@ -197,7 +197,7 @@ class MaterializedAggregate:
         old = self.table.read(self.spark, partition_filter=pf)
 
         merged = self._merge(old, delta)
-        merged = self._recompute_extrema(merged, delta)
+        merged = self._recompute_extrema(merged, delta, as_of=src_snap)
 
         files = self.table.write_data_files(
             merged.drop("__retracted"),
@@ -248,14 +248,22 @@ class MaterializedAggregate:
         cols.append(F.coalesce(F.col("d.__retracted"), F.lit(0)).alias("__retracted"))
         return j.select(*cols).where(F.col(_ROWS) > 0)
 
-    def _recompute_extrema(self, merged: DataFrame, delta: DataFrame) -> DataFrame:
+    def _recompute_extrema(
+        self, merged: DataFrame, delta: DataFrame, as_of: int | None = None
+    ) -> DataFrame:
         """Re-derive min/max from source for groups that saw a retraction —
-        only those groups (semi-join), and only when extrema are maintained."""
+        only those groups (semi-join), and only when extrema are maintained.
+
+        ``as_of`` pins the source read to the snapshot the fold window ends
+        at: under concurrent ingest the source may already have advanced past
+        ``src_snap``, and an unpinned read would fold post-window values into
+        state whose cursor claims otherwise.
+        """
         extrema = {n: s for n, s in self.aggs.items() if s.kind in _EXTREMA}
         if not extrema:
             return merged
         hit = delta.where(F.col("__retracted") == 1).select(_GKEY)
-        src = self.pipeline.read_state()
+        src = self.pipeline.read_state(snapshot_id=as_of)
         src = src.withColumn(_GKEY, self._gkey_expr(src)).join(hit, _GKEY, "left_semi")
         fresh = src.groupBy(_GKEY).agg(
             *[

@@ -145,6 +145,48 @@ def test_mv_group_death_and_delete_retraction(spark, tmp_path):
     assert int(got["max_tok"][0]) == 30  # extrema shrank via recompute
 
 
+def test_mv_extrema_recompute_pinned_to_fold_window(spark, tmp_path):
+    """The retraction-driven extrema recompute must read the source AS OF the
+    snapshot the fold window ends at: if the source advances concurrently
+    (here: an epoch applied between the fold and the recompute), an unpinned
+    read would fold a post-window max into state whose cursor predates it."""
+    docs = [
+        ("c1", list(range(30)), 30, "s"),
+        ("c2", list(range(40)), 40, "s"),
+    ]
+    ev = [(d, t, n, s, i + 1, "I") for i, (d, t, n, s) in enumerate(docs)]
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=2)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), apply_mode="cow")
+    pipe.apply_epoch(_ev(spark, ev), epoch_id=0)
+    mv = MaterializedAggregate(pipe, str(tmp_path / "mv"), ["source"], AGGS, n_buckets=2)
+    mv.refresh()
+
+    # window epoch: delete the current max (forces the recompute branch)
+    pipe.apply_epoch(_ev(spark, [("c2", None, None, "s", 3, "D")]), epoch_id=1)
+    pinned = pipe.table.current_snapshot().snapshot_id
+
+    # concurrent epoch: a NEW max lands after the fold window closes
+    pipe.apply_epoch(
+        _ev(spark, [("c3", list(range(99)), 99, "s", 4, "I")]), epoch_id=2
+    )
+
+    # drive the recompute branch exactly as refresh() does, with the window
+    # pinned at `pinned` — the post-window 99 must NOT be visible
+    delta = spark.createDataFrame(
+        [{"_gkey": '{"source":"s"}', "__retracted": 1}]
+    )
+    merged = spark.createDataFrame(
+        [{"_gkey": '{"source":"s"}', "__retracted": 1, "min_tok": 30, "max_tok": 40}]
+    )
+    out = mv._recompute_extrema(merged, delta, as_of=pinned).collect()[0]
+    assert out["max_tok"] == 30 and out["min_tok"] == 30
+
+    # and the public path converges: a refresh NOW (window ends at epoch 2)
+    # equals the full recompute including the new max
+    mv.refresh()
+    pd.testing.assert_frame_equal(_mv_frame(mv), _recompute(pipe))
+
+
 def test_mv_update_moves_group_membership(spark, tmp_path):
     """An update that CHANGES the group column retracts from the old group
     and applies to the new one (the pre/post-image pair crosses groups)."""
