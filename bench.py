@@ -233,6 +233,7 @@ HEADLINE = [
     "dedup_clusters",
     "attribution_last_touch",
     "tfidf_top_terms",
+    "text_repetition_stats",
 ]
 
 
