@@ -14,9 +14,12 @@ from ..sources import (
     CSV_PINNED_SCHEMA,
     JSON_PATH,
     JSON_PINNED_SCHEMA,
+    N_VCF_META_LINES,
+    VCF_PATH,
     ensure_control_files,
     read_csv_options,
     read_json_pinned,
+    read_vcf,
 )
 from .registry import query
 
@@ -68,4 +71,43 @@ def scan_csv_options(spark, sf_dir):
         "id",
         "label",
         F.round(F.col("amount") * 100).cast("long").alias("amount_cents"),
+    )
+
+
+_VCF_ORACLE = f"""
+SELECT chrom, pos, vid, ref, alt, qual, filt,
+       CAST(regexp_extract(info, 'DP=([0-9]+)', 1) AS BIGINT) AS dp,
+       CAST(regexp_extract(info, 'AF=([0-9.]+)', 1) AS DOUBLE) AS af
+FROM read_csv('{VCF_PATH}', delim='\t', skip={N_VCF_META_LINES + 1}, header=false,
+              columns={{chrom: 'VARCHAR', pos: 'BIGINT', vid: 'VARCHAR',
+                       ref: 'VARCHAR', alt: 'VARCHAR', qual: 'DOUBLE',
+                       filt: 'VARCHAR', info: 'VARCHAR'}})
+WHERE filt = 'PASS' AND CAST(regexp_extract(info, 'DP=([0-9]+)', 1) AS BIGINT) >= 30
+"""
+
+
+@query("scan_vcf_info", oracle=_VCF_ORACLE, survey="A1,A3,B2,B7,H-map", gate=False)
+def scan_vcf_info(spark, sf_dir):
+    """VCF scan (SURVEY §2 A1): ##-preamble skipped via the comment option,
+    pinned 8-column schema, semicolon INFO parsed to a map and extracted to
+    typed columns (DP long, AF double — dyadic text, bit-identical parses),
+    filtered on FILTER + depth.  gate=False: A1's scan shape is evidenced by
+    the gated A2/A3 scans; this query makes the VCF contract itself
+    first-class under the identical hash-match suite."""
+    ensure_control_files()
+    df = read_vcf(spark, VCF_PATH)
+    dp = F.element_at("info_map", F.lit("DP")).cast("long")
+    return (
+        df.where((F.col("filt") == "PASS") & (dp >= 30))
+        .select(
+            "chrom",
+            "pos",
+            "vid",
+            "ref",
+            "alt",
+            "qual",
+            "filt",
+            dp.alias("dp"),
+            F.element_at("info_map", F.lit("AF")).cast("double").alias("af"),
+        )
     )

@@ -21,13 +21,16 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 AUX_DIR = "/tmp/spark_graft_aux"
 JSON_PATH = os.path.join(AUX_DIR, "control.jsonl")
 CSV_PATH = os.path.join(AUX_DIR, "control.csv")
+VCF_PATH = os.path.join(AUX_DIR, "control.vcf")
 N_JSON_ROWS = 50
 N_CSV_ROWS = 40
+N_VCF_ROWS = 60
+N_VCF_META_LINES = 3  # ## header lines before #CHROM (oracle skip count)
 
 # pinned schema: declared in code, never inferred; ``missing_col`` is absent
 # from the file on purpose (pinned-schema contract: absent -> null, not drift)
@@ -78,6 +81,28 @@ def ensure_control_files() -> None:
         lines.append(f"{i}|item_{i % 7}|{(i * 37) % 1000}.{(i * 13) % 100:02d}")
     _write_if_changed(CSV_PATH, "\n".join(lines) + "\n")
 
+    # VCF 4.2 fixed columns, ##-meta preamble, deterministic rows.  QUAL and
+    # AF are dyadic fractions rendered with enough digits to round-trip
+    # exactly, so double parses are bit-identical across engines.
+    bases = "ACGT"
+    vcf = [
+        "##fileformat=VCFv4.2",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Read depth">',
+        '##INFO=<ID=AF,Number=1,Type=Float,Description="Allele frequency">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+    ]
+    assert len(vcf) - 1 == N_VCF_META_LINES
+    for i in range(N_VCF_ROWS):
+        ref = bases[i % 4]
+        alt = bases[(i + 1 + i % 3) % 4]
+        qual = (i % 64) + (i % 16) / 16
+        af = (i % 64) / 64
+        vcf.append(
+            f"chr{(i % 22) + 1}\t{10_000 + i * 137}\trs{100_000 + i}\t{ref}\t{alt}"
+            f"\t{qual:.4f}\t{'PASS' if i % 5 else 'q10'}\tDP={(i * 3) % 200};AF={af:.6f}"
+        )
+    _write_if_changed(VCF_PATH, "\n".join(vcf) + "\n")
+
 
 def _write_if_changed(path: str, content: str) -> None:
     if os.path.exists(path):
@@ -96,6 +121,48 @@ def read_json_pinned(spark: SparkSession, path: str, schema: T.StructType) -> Da
     return spark.read.schema(schema).json(path)
 
 
+VCF_FIXED_SCHEMA = T.StructType(
+    [
+        T.StructField("chrom", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("vid", T.StringType()),
+        T.StructField("ref", T.StringType()),
+        T.StructField("alt", T.StringType()),
+        T.StructField("qual", T.DoubleType()),
+        T.StructField("filt", T.StringType()),
+        T.StructField("info", T.StringType()),
+    ]
+)
+
+
+def read_vcf(spark: SparkSession, path: str) -> DataFrame:
+    """VCF scan, pure Spark (SURVEY §2 A1; the reference reads VCF via the
+    Glow datasource, etl/vcf — here the same fixed-column contract is read
+    with the built-in CSV source so predicate pushdown and column pruning
+    apply):
+
+    - ``##`` meta lines and the ``#CHROM`` header are skipped via the
+      ``comment`` reader option (VCF comments are exactly '#'-prefixed);
+    - the 8 fixed columns are read under a PINNED schema (never inferred);
+    - the semicolon-delimited INFO column is exposed both raw (``info``)
+      and parsed to a map (``info_map``) for typed key extraction.
+
+    Multi-sample FORMAT columns are out of scope for the token-domain
+    engine — the reference's own normalization also reduces to per-variant
+    rows before any downstream query (etl/normalized/SNV.scala).
+    """
+    df = (
+        spark.read.schema(VCF_FIXED_SCHEMA)
+        .option("sep", "\t")
+        .option("comment", "#")
+        .option("header", "false")
+        .csv(path)
+    )
+    return df.withColumn(
+        "info_map", F.str_to_map(F.col("info"), F.lit(";"), F.lit("="))
+    )
+
+
 def read_csv_options(
     spark: SparkSession,
     path: str,
@@ -109,6 +176,47 @@ def read_csv_options(
         .option("header", str(header).lower())
         .csv(path)
     )
+
+
+def write_es_bulk(
+    df: DataFrame,
+    target_dir: str,
+    index: str,
+    id_col: str,
+    doc_cols: list[str] | None = None,
+) -> None:
+    """Elasticsearch ``_bulk``-protocol sink (SURVEY §2 A9; reference:
+    PublishToElasticsearch / the es-spark sink in etl/es).
+
+    Each row renders as the two-line NDJSON bulk unit —
+    ``{"index":{"_index":…,"_id":<key>}}`` followed by the document source —
+    one file per partition, so a downstream shipper POSTs each part file to
+    ``/_bulk`` verbatim (the es-hadoop connector does exactly this per
+    partition).  Using ``index`` actions with an explicit ``_id`` makes
+    redelivery idempotent (upsert by id): the engine's at-least-once
+    delivery carries through to the search tier unchanged.
+
+    The reference's release pattern — write index ``<name>-<version>`` then
+    swap the alias — composes with ``LakeTable.publish``: bulk-load into a
+    snapshot-suffixed index, then move the alias after QC, so readers never
+    see a half-loaded index.
+
+    Both JSON lines are built with ``to_json`` (never string concat), so
+    ids and values are escaped correctly.
+    """
+    cols = doc_cols or [c for c in df.columns]
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"),
+                F.col(id_col).cast("string").alias("_id"),
+            ).alias("index")
+        )
+    )
+    doc = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    df.select(F.concat_ws("\n", action, doc).alias("value")).write.mode(
+        "overwrite"
+    ).text(target_dir)
 
 
 def write_single_csv(

@@ -1,5 +1,5 @@
 """File-format sources/sinks: pinned-schema JSON, CSV with options,
-single-file CSV sink (SURVEY §2 A2/A3/A8)."""
+single-file CSV sink, VCF scan, ES _bulk sink (SURVEY §2 A1/A2/A3/A8/A9)."""
 
 from __future__ import annotations
 
@@ -15,8 +15,11 @@ from clin_variant_etl_spark.sources import (
     ensure_control_files,
     read_csv_options,
     read_json_pinned,
+    read_vcf,
+    write_es_bulk,
     write_single_csv,
 )
+from clin_variant_etl_spark.sources import N_VCF_ROWS, VCF_PATH
 
 
 def test_json_pinned_schema_no_drift(spark):
@@ -55,3 +58,42 @@ def test_write_single_csv(spark, tmp_path):
     )
     assert back.count() == 40
     assert back.agg(F.sum("id")).first()[0] == sum(range(40))
+
+
+def test_read_vcf_contract(spark):
+    """##-preamble and #CHROM header skipped, 8 fixed columns typed, INFO
+    parsed to a map with typed extraction."""
+    ensure_control_files()
+    df = read_vcf(spark, VCF_PATH)
+    assert df.count() == N_VCF_ROWS
+    r = df.where(F.col("vid") == "rs100001").first()  # i=1
+    assert r["chrom"] == "chr2" and r["pos"] == 10_137
+    assert r["ref"] == "C" and r["alt"] == "T"  # bases[(1 + 1 + 1 % 3) % 4]
+    assert r["filt"] == "PASS"
+    assert r["info_map"]["DP"] == "3"
+    assert float(r["info_map"]["AF"]) == 1 / 64
+    # REF never equals ALT anywhere (generator invariant the parser preserves)
+    assert df.where(F.col("ref") == F.col("alt")).count() == 0
+
+
+def test_write_es_bulk_protocol(spark, tmp_path):
+    """Every row renders as an action+source NDJSON pair; ids escape
+    correctly; redelivery (same _id) is idempotent by construction."""
+    import json
+
+    df = spark.createDataFrame(
+        [(1, 'plain', 7), (2, 'quote " inside', 9)], "doc_id long, txt string, n long"
+    )
+    out = str(tmp_path / "bulk")
+    write_es_bulk(df, out, index="docs-v1", id_col="doc_id")
+    lines = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part-"):
+            with open(os.path.join(out, f)) as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == 4  # 2 rows x (action + source)
+    pairs = [(json.loads(lines[i]), json.loads(lines[i + 1])) for i in (0, 2)]
+    by_id = {a["index"]["_id"]: d for a, d in pairs}
+    assert all(a["index"]["_index"] == "docs-v1" for a, _ in pairs)
+    assert by_id["2"]["txt"] == 'quote " inside'  # to_json escaping survived
+    assert by_id["1"] == {"doc_id": 1, "txt": "plain", "n": 7}
