@@ -41,7 +41,8 @@ THIS round.  Slots rotate so every query gets a driver row in some round:
   - suite-only, new mid-r4 (codes covered by gated siblings):
       top_tokens_per_lang, tfidf_top_terms (heavy hitters / TF-IDF),
       text_repetition_stats (Gopher repetition filters),
-      scan_vcf_info (the A1 VCF contract made first-class)
+      scan_vcf_info (the A1 VCF contract made first-class),
+      multimodal_bmp_decode (real stdlib image codec, the WAV sibling)
 """
 
 from __future__ import annotations

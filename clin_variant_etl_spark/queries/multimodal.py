@@ -243,3 +243,114 @@ def multimodal_frame_sample(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST((length(text) + 4) // 5 AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS bpp,
+       CAST(5 * ((length(text) + 4) // 5) AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(generate_series(1, length(text)),
+              i -> ascii(substr(text, i, 1)) % 256)) AS BIGINT) AS sum_lum,
+       CAST(list_max(list_transform(generate_series(1, length(text)),
+              i -> ascii(substr(text, i, 1)) % 256)) AS BIGINT) AS max_lum
+FROM documents
+WHERE length(text) >= 1
+""",
+    survey="A10,I2,I3,multimodal-decode",
+    gate=False,  # A10 gated via multimodal_decode_features / wav_decode
+)
+def multimodal_bmp_decode(spark, sf_dir):
+    """REAL image codec decode through the A10 plumbing — no stub.
+
+    The WAV sibling proved the audio path; this does the same for images
+    with the one raster format fully decodable from the stdlib: each
+    document's chars become grayscale pixels in a genuine 24-bit
+    uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up
+    4-byte-aligned rows — width 5 gives a 15-byte row padded to 16, so the
+    stride logic is actually exercised), and the decode side REALLY parses
+    the container: magic, pixel-array offset, dimensions, bit depth and
+    compression come out of the headers via ``struct.unpack``; luminance
+    stats out of the strided pixel rows via numpy.  The zero pixels padding
+    the final row are real pixels of the image and are included in the
+    stats (they contribute 0 to the sum and never win the max because text
+    codepoints are ≥1), which is what the oracle computes from the text.
+    PIL/ffmpeg formats stay behind ``decode_real``.
+    """
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text").where(
+        F.length("text") >= 1
+    )
+    docs = repartition_for_external_batches(docs, rows_per_batch=1000)
+    WIDTH = 5
+
+    def encode_decode(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "bpp": [],
+                "n_pixels": [], "sum_lum": [], "max_lum": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # encode: chars -> grayscale pixels in a real 24-bit BMP
+                vals = (
+                    _np.frombuffer(text.encode("utf-32-le"), dtype=_np.uint32)
+                    % 256
+                ).astype(_np.uint8)
+                h = -(-len(vals) // WIDTH)
+                grid = _np.zeros((h, WIDTH), dtype=_np.uint8)
+                grid.ravel()[: len(vals)] = vals
+                stride = ((WIDTH * 3 + 3) // 4) * 4
+                rows = b"".join(
+                    _np.repeat(grid[r], 3).tobytes().ljust(stride, b"\x00")
+                    for r in range(h - 1, -1, -1)  # bottom-up
+                )
+                header = _struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40
+                ) + _struct.pack(
+                    "<IiiHHIIiiII", 40, WIDTH, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+                )
+                payload = header + rows
+
+                # decode: REAL container parse of the opaque payload
+                magic, _, _, _, off = _struct.unpack_from("<2sIHHI", payload, 0)
+                assert magic == b"BM"
+                (_, w, ih, _, bpp, comp) = _struct.unpack_from("<IiiHHI", payload, 14)
+                assert bpp == 24 and comp == 0
+                st = ((w * 3 + 3) // 4) * 4
+                pix = _np.stack(
+                    [
+                        _np.frombuffer(payload, _np.uint8, w * 3, off + r * st)
+                        .reshape(w, 3)
+                        for r in range(ih - 1, -1, -1)
+                    ]
+                )
+                lum = pix[:, :, 0].astype(_np.int64)  # grayscale: B==G==R
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(ih)
+                out["bpp"].append(int(bpp))
+                out["n_pixels"].append(w * ih)
+                out["sum_lum"].append(int(lum.sum()))
+                out["max_lum"].append(int(lum.max()))
+            yield _pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("bpp", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("sum_lum", T.LongType()),
+            T.StructField("max_lum", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(encode_decode, schema=schema)
