@@ -282,11 +282,21 @@ def remove_orphan_files(
 
 def expire_snapshots(table: LakeTable, keep_last: int = 2) -> list[int]:
     """Delete old snapshot manifests (and their now-unreferenced manifest
-    shards) and garbage-collect unreferenced data files."""
+    shards) and garbage-collect unreferenced data files.
+
+    Named refs are RETENTION ROOTS (Iceberg's branch/tag retention rule): a
+    snapshot pinned by ``table.tag``/``publish`` is never expired regardless
+    of ``keep_last``, so readers of a published ref cannot lose their
+    snapshot to a count-based maintenance sweep — drop the tag first.
+    """
     ids = table.snapshot_ids()
     if len(ids) <= keep_last:
         return []
-    expired, kept = ids[:-keep_last], ids[-keep_last:]
+    pinned = set(table.refs().values())
+    expired = [s for s in ids[:-keep_last] if s not in pinned]
+    kept = [s for s in ids if s not in expired]
+    if not expired:
+        return []
     referenced: set[str] = set()
     kept_shards: set[str] = set()
     for sid in kept:

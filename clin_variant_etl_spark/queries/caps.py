@@ -69,7 +69,14 @@ def cap_buckets_fused(
     Prefer this when ``df`` is already materialized (checkpointed band
     frames); ``cap_buckets``' count+semi-join shape remains better when the
     count can run on a much slimmer projection than the payload rows.
+
+    Null-key rows are dropped up front to match ``cap_buckets`` exactly
+    (its left-semi join never matches a null key; a window would instead
+    group all nulls into one kept partition).
     """
+    assert "_bucket_n" not in df.columns, "_bucket_n is reserved by cap_buckets_fused"
+    for k in keys:
+        df = df.where(F.col(k).isNotNull())
     w = Window.partitionBy(*keys)
     return (
         df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))

@@ -157,7 +157,7 @@ def multimodal_wav_decode(spark, sf_dir):
                 # encode: chars → int16 PCM mono @8kHz in a real WAV container
                 samples = (
                     _np.frombuffer(
-                        text.encode("utf-32-le"), dtype=_np.uint32
+                        text.encode("utf-32-le"), dtype="<u4"
                     ).astype(_np.int64)
                     % 256
                     - 128
@@ -301,7 +301,7 @@ def multimodal_bmp_decode(spark, sf_dir):
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 # encode: chars -> grayscale pixels in a real 24-bit BMP
                 vals = (
-                    _np.frombuffer(text.encode("utf-32-le"), dtype=_np.uint32)
+                    _np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
                     % 256
                 ).astype(_np.uint8)
                 h = -(-len(vals) // WIDTH)

@@ -25,6 +25,7 @@ is cluster-size independent (SURVEY.md §7 design).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
@@ -43,19 +44,34 @@ def _discover_event_schema(spark, events_dir: str):
     adds columns mid-log is invisible until the stream restarts — at which
     point this unions every parquet footer currently in the log
     (mergeSchema) so the widened contract is picked up and pre-upgrade
-    files read the new columns as null.  Falls back to the v1 contract when
-    the log is still empty.  ``--event-schema v1|v2`` pins instead (a
-    production deployment that controls its producer contract should pin).
+    files read the new columns as null.  Falls back to the v1 contract ONLY
+    when the log is still empty — any other discovery failure (conflicting
+    footer types, I/O errors) must surface, because proceeding with the
+    pinned v1 schema would silently drop the upgraded columns, which is the
+    exact loss this mode exists to prevent.  ``--event-schema v1|v2`` pins
+    instead (a deployment that controls its producer contract should pin).
+
+    Scale note: this is an O(log files) footer scan per stream (re)start.
+    At a 10^10-event log a production deployment caches the discovered
+    schema beside the stream checkpoint and only merges footers newer than
+    the cached discovery (Auto Loader's schemaLocation) — at this repo's
+    deployment scale the one-shot scan is the simpler correct posture.
     """
-    try:
-        return (
-            spark.read.option("mergeSchema", "true")
-            .option("recursiveFileLookup", "true")
-            .parquet(events_dir)
-            .schema
-        )
-    except Exception:
+    import glob
+
+    has_files = any(
+        f
+        for f in glob.iglob(os.path.join(events_dir, "**"), recursive=True)
+        if f.endswith(".parquet")
+    )
+    if not has_files:
         return CHANGE_EVENTS_SCHEMA
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+        .schema
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -125,25 +141,40 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(args.app_name)
     if args.mode == "maintain":
         from .lake import maintenance
+        from .lake.table import CommitConflict
         from .schemas import INTERNAL_LAST_LSN
 
         t = LakeTable(args.table)
+        # the fold key is the table's OWN bucketing column, never a CLI
+        # default: folding on the wrong key would max_by-collapse distinct
+        # rows that share the wrong column's value — silent data loss
+        spec = t.partition_spec
+        key = spec[0].source_col if spec else args.key_col
         fold = (
-            (args.key_col, INTERNAL_LAST_LSN)
+            (key, INTERNAL_LAST_LSN)
             if args.apply_mode == "mor" and not args.no_fold
             else None
         )
-        snap = maintenance.compact(
-            spark, t, target_file_bytes=args.target_file_bytes, resolve_keep_latest=fold
-        )
+        # concurrent ingest commits race the compaction's snapshot pin;
+        # compact()'s contract is caller-retries-on-the-new-snapshot
+        for attempt in range(3):
+            try:
+                snap = maintenance.compact(
+                    spark, t, target_file_bytes=args.target_file_bytes,
+                    resolve_keep_latest=fold,
+                )
+                break
+            except CommitConflict:
+                if attempt == 2:
+                    raise
         expired = maintenance.expire_snapshots(t, keep_last=args.keep_snapshots)
         orphans = maintenance.remove_orphan_files(
             t, grace_seconds=args.orphan_grace_hours * 3600
         )
         print(
             f"maintained: compacted to snapshot {snap.snapshot_id}"
-            f"{' (mor fold)' if fold else ''}, expired {len(expired)} snapshots, "
-            f"GC'd {len(orphans)} orphan files"
+            f"{' (mor fold on ' + key + ')' if fold else ''}, "
+            f"expired {len(expired)} snapshots, GC'd {len(orphans)} orphan files"
         )
         return 0
     if not LakeTable.exists(args.table):

@@ -205,11 +205,20 @@ def write_es_bulk(
     ids and values are escaped correctly.
     """
     cols = doc_cols or [c for c in df.columns]
+    # a NULL id would render an id-less action line and ES would mint a
+    # fresh _id per delivery — exactly the duplication the explicit-_id
+    # contract exists to prevent; fail the job instead of shipping it
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.assert_true(F.col(id_col).isNotNull(), f"write_es_bulk: null {id_col}").cast(
+            "string"
+        ),
+    ).otherwise(F.col(id_col).cast("string"))
     action = F.to_json(
         F.struct(
             F.struct(
                 F.lit(index).alias("_index"),
-                F.col(id_col).cast("string").alias("_id"),
+                checked_id.alias("_id"),
             ).alias("index")
         )
     )

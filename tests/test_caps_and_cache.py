@@ -75,3 +75,16 @@ def test_words_cache_evicts_dead_session_entries(spark):
 def test_session_alive_detection(spark):
     assert textops._session_alive(spark)
     assert not textops._session_alive(object())
+
+
+def test_cap_buckets_fused_null_keys_match_semi_join(spark):
+    """Null bucket keys: both variants must drop them (left-semi never
+    matches null; the fused variant filters explicitly to match)."""
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3), ("a", 4)], "bucket string, m int"
+    )
+    a = sorted((r["bucket"], r["m"]) for r in cap_buckets(df, ["bucket"], cap=9).collect())
+    b = sorted(
+        (r["bucket"], r["m"]) for r in cap_buckets_fused(df, ["bucket"], cap=9).collect()
+    )
+    assert a == b == [("a", 1), ("a", 4)]

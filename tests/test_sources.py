@@ -97,3 +97,13 @@ def test_write_es_bulk_protocol(spark, tmp_path):
     assert all(a["index"]["_index"] == "docs-v1" for a, _ in pairs)
     assert by_id["2"]["txt"] == 'quote " inside'  # to_json escaping survived
     assert by_id["1"] == {"doc_id": 1, "txt": "plain", "n": 7}
+
+
+def test_write_es_bulk_null_id_fails_loudly(spark, tmp_path):
+    """A null id would make ES mint a fresh _id per redelivery (silent
+    duplication) — the sink must fail the job instead."""
+    import pytest
+
+    df = spark.createDataFrame([(None, "x")], "doc_id long, txt string")
+    with pytest.raises(Exception, match="null doc_id"):
+        write_es_bulk(df, str(tmp_path / "bulk"), index="docs", id_col="doc_id")
