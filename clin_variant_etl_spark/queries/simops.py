@@ -369,29 +369,42 @@ def embed_cosine_pairs_lsh(spark, sf_dir):
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
         bb(F.col("v")).alias("_bands"),
     ).localCheckpoint(eager=True)
-    ex = n.select(
-        "vec_id", "v", "nrm", F.posexplode("_bands").alias("band", "bucket")
-    )
+    # candidate generation is SLIM: only (vec_id, band, bucket) rides the
+    # band exchange — the 64-double payload never shuffles with the explode
+    # (4 bands would otherwise ship every vector 4×).  Pairs are then
+    # DISTINCT'd across bands BEFORE rescoring, so a pair colliding in k
+    # bands pays the exact dot product once, not k times; the payload is
+    # re-attached per side by a vec_id equi-join against the checkpointed
+    # signature blocks (ONE corpus-sized shuffle per side — or a broadcast
+    # when the corpus fits — instead of 4× through the band join).
+    ex = n.select("vec_id", F.posexplode("_bands").alias("band", "bucket"))
     # bound pair fan-out: over-cap (band, bucket) groups are dropped pre-join —
     # window-fused: the pair join must shuffle these rows on (band, bucket)
     # anyway, so the cap rides that exchange instead of adding a count job
     ex = cap_buckets_fused(ex, ["band", "bucket"])
     a, c = ex.alias("a"), ex.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
+    pairs = (
         a.join(
             c,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
+    )
+    va = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"), F.col("nrm").alias("_na")
+    )
+    vb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"), F.col("nrm").alias("_nb")
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
     )
 
 
