@@ -42,7 +42,9 @@ THIS round.  Slots rotate so every query gets a driver row in some round:
       top_tokens_per_lang, tfidf_top_terms (heavy hitters / TF-IDF),
       text_repetition_stats (Gopher repetition filters),
       scan_vcf_info (the A1 VCF contract made first-class),
-      multimodal_bmp_decode (real stdlib image codec, the WAV sibling)
+      multimodal_bmp_decode (real stdlib image codec, the WAV sibling),
+      multimodal_png_decode (real COMPRESSED codec: zlib DEFLATE, chunk
+      CRCs, full scanline unfiltering)
 """
 
 from __future__ import annotations

@@ -354,3 +354,157 @@ def multimodal_bmp_decode(spark, sf_dir):
         ]
     )
     return docs.mapInPandas(encode_decode, schema=schema)
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(5 AS BIGINT) AS width,
+       CAST((length(text) + 4) // 5 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(5 * ((length(text) + 4) // 5) AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(generate_series(1, length(text)),
+              i -> ascii(substr(text, i, 1)) % 256)) AS BIGINT) AS sum_lum,
+       CAST(list_max(list_transform(generate_series(1, length(text)),
+              i -> ascii(substr(text, i, 1)) % 256)) AS BIGINT) AS max_lum
+FROM documents
+WHERE length(text) >= 1
+""",
+    survey="A10,I2,I3,multimodal-decode",
+    gate=False,  # A10 gated via multimodal_decode_features / wav_decode
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL *compressed* image codec through the A10 plumbing.
+
+    BMP proved the raster container parse; PNG adds the full compressed
+    pipeline, stdlib-only: chunked container (length/type/payload/CRC32),
+    DEFLATE via ``zlib``, and per-row scanline filters.  The encoder writes
+    8-bit grayscale with every row Sub-filtered (type 1 — a real delta
+    predictor, so the decoder cannot shortcut to a memcpy) and a verified
+    CRC32 on every chunk; the decoder REALLY inflates: signature check,
+    IHDR parse, CRC verification of each chunk, IDAT concatenation (the
+    encoder splits IDAT in two to exercise multi-chunk streams),
+    ``zlib.decompress``, and generic type-0..4 unfiltering (None/Sub/Up/
+    Average/Paeth — the spec's full filter set, not just the one the
+    encoder used).  Same luminance oracle as the BMP sibling: the zero
+    pixels padding the last row are real pixels and count in the stats.
+    PIL/ffmpeg formats stay behind ``decode_real``.
+    """
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text").where(
+        F.length("text") >= 1
+    )
+    docs = repartition_for_external_batches(docs, rows_per_batch=1000)
+    WIDTH = 5
+
+    def encode_decode(batches):
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def chunk(ctype: bytes, payload: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + _struct.pack(">I", _zlib.crc32(ctype + payload))
+            )
+
+        def unfilter(raw: bytes, w: int, h: int) -> "_np.ndarray":
+            # bpp=1 (8-bit grayscale): a = left, b = up, c = upper-left
+            out = _np.zeros((h, w), dtype=_np.int64)
+            pos = 0
+            for r in range(h):
+                ft = raw[pos]
+                line = _np.frombuffer(raw, _np.uint8, w, pos + 1).astype(_np.int64)
+                pos += 1 + w
+                up = out[r - 1] if r else _np.zeros(w, dtype=_np.int64)
+                if ft == 0:
+                    out[r] = line
+                elif ft == 2:  # Up
+                    out[r] = (line + up) % 256
+                else:  # Sub/Average/Paeth need the running left pixel
+                    for x in range(w):
+                        a = out[r, x - 1] if x else 0
+                        b, c = up[x], (up[x - 1] if x else 0)
+                        if ft == 1:
+                            pred = a
+                        elif ft == 3:
+                            pred = (a + b) // 2
+                        else:  # Paeth
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                        out[r, x] = (line[x] + pred) % 256
+            return out
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "bit_depth": [],
+                "n_pixels": [], "sum_lum": [], "max_lum": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                vals = (
+                    _np.frombuffer(text.encode("utf-32-le"), dtype="<u4") % 256
+                ).astype(_np.uint8)
+                h = -(-len(vals) // WIDTH)
+                grid = _np.zeros((h, WIDTH), dtype=_np.uint8)
+                grid.ravel()[: len(vals)] = vals
+                # Sub-filter every scanline: raw[x] - raw[x-1] mod 256
+                scan = b"".join(
+                    b"\x01"
+                    + _np.diff(grid[r].astype(_np.int64), prepend=0).astype(
+                        _np.uint8
+                    ).tobytes()
+                    for r in range(h)
+                )
+                z = _zlib.compress(scan)
+                ihdr = _struct.pack(">IIBBBBB", WIDTH, h, 8, 0, 0, 0, 0)
+                payload = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", z[: len(z) // 2])  # multi-chunk IDAT
+                    + chunk(b"IDAT", z[len(z) // 2 :])
+                    + chunk(b"IEND", b"")
+                )
+
+                # decode: REAL compressed-container parse of the payload
+                assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+                pos, idat, w, ih = 8, b"", 0, 0
+                while pos < len(payload):
+                    (ln,) = _struct.unpack_from(">I", payload, pos)
+                    ctype = payload[pos + 4 : pos + 8]
+                    body = payload[pos + 8 : pos + 8 + ln]
+                    (crc,) = _struct.unpack_from(">I", payload, pos + 8 + ln)
+                    assert crc == _zlib.crc32(ctype + body), "PNG chunk CRC mismatch"
+                    if ctype == b"IHDR":
+                        w, ih, depth, ctyp = _struct.unpack_from(">IIBB", body, 0)
+                        assert depth == 8 and ctyp == 0
+                    elif ctype == b"IDAT":
+                        idat += body
+                    pos += 12 + ln
+                pix = unfilter(_zlib.decompress(idat), w, ih)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(ih)
+                out["bit_depth"].append(8)
+                out["n_pixels"].append(w * ih)
+                out["sum_lum"].append(int(pix.sum()))
+                out["max_lum"].append(int(pix.max()))
+            yield _pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("bit_depth", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("sum_lum", T.LongType()),
+            T.StructField("max_lum", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(encode_decode, schema=schema)
