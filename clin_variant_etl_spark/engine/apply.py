@@ -163,6 +163,7 @@ class CdcPipeline:
         debug_checks: bool = False,
         apply_mode: str = "cow",
         broadcast_max_rows: int | None = 4_000_000,
+        key_blooms: bool = False,
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
@@ -187,6 +188,11 @@ class CdcPipeline:
             raise ValueError(f"unknown dedup_variant {dedup_variant!r}")
         self.dedup_variant = dedup_variant
         self.broadcast_max_rows = broadcast_max_rows
+        # key_blooms: stamp a per-file bloom of key_col into every commit's
+        # manifest entries, enabling lookup()'s file skipping.  Opt-in: the
+        # bloom build re-reads the key column of each written file at commit
+        # time — tables that are only ever scanned whole shouldn't pay it.
+        self.key_blooms = key_blooms
         # auto-variant probe short-circuit: last applied epoch's net-change
         # count (in-process; a restarted driver simply re-probes once)
         self._net_estimate: int | None = None
@@ -242,16 +248,73 @@ class CdcPipeline:
         df = df.where(~F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)))
         return df.drop(INTERNAL_LAST_LSN, INTERNAL_DELETED)
 
+    def lookup(self, keys, snapshot_id: int | None = None) -> DataFrame:
+        """Point lookup: visible state for specific keys, opening only the
+        files that can hold them.
+
+        Layered pruning, each exact-or-conservative:
+        1. bucket pruning — the sought keys' buckets are computed with the
+           table spec's OWN expression (one collect over len(keys) rows, so
+           the Python side can never disagree with the writer's murmur3);
+           only those buckets' manifest shards are even opened;
+        2. bloom file skipping inside the bucket (``read(key_filter=…)``,
+           populated when the pipeline runs with ``key_blooms=True``) — on a
+           mor table a hot bucket holds base + many delta files, and the
+           bloom keeps the lookup to the files that mention the key;
+        3. the row predicate (pushed to the parquet scan).
+
+        The keep-max-LSN resolve runs AFTER filtering, which is exact: a
+        bloom can only over-keep files (no false negatives), and the row
+        filter keeps every version of a sought key — so the resolve sees
+        the key's full version set, same as a full read_state().
+        """
+        keys = list(keys)
+        if not keys:
+            return self.read_state(snapshot_id).limit(0)
+        pf = None
+        spec = self.table.partition_spec
+        if (
+            spec
+            and spec[0].source_col == self.key_col
+            and spec[0].transform in ("bucket", "bucket_m3")
+        ):
+            key_type = next(
+                f.dataType for f in self.table.schema.fields if f.name == self.key_col
+            )
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys],
+                T.StructType([T.StructField(self.key_col, key_type)]),
+            )
+            buckets = {r["b"] for r in kdf.select(spec[0].expr().alias("b")).collect()}
+            pf = {spec[0].name: buckets}
+        df = self._read_resolved(
+            snapshot_id,
+            partition_filter=pf,
+            key_filter={self.key_col: keys},
+            row_filter=F.col(self.key_col).isin(keys),
+        )
+        df = df.where(~F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)))
+        return df.drop(INTERNAL_LAST_LSN, INTERNAL_DELETED)
+
     def _read_resolved(
         self,
         snapshot_id: int | None = None,
         partition_filter: dict[str, set[str]] | None = None,
+        key_filter: dict[str, list] | None = None,
+        row_filter: F.Column | None = None,
     ) -> DataFrame:
         """One row per key INCLUDING internals (lsn, tombstones) — the mor
-        keep-max-LSN resolve applied when deltas may exist."""
+        keep-max-LSN resolve applied when deltas may exist.  Filters are
+        applied BEFORE the resolve; callers must only pass filters that
+        keep every version of any key they keep (key-level predicates)."""
         df = self.table.read(
-            self.spark, snapshot_id=snapshot_id, partition_filter=partition_filter
+            self.spark,
+            snapshot_id=snapshot_id,
+            partition_filter=partition_filter,
+            key_filter=key_filter,
         )
+        if row_filter is not None:
+            df = df.where(row_filter)
         snap = (
             self.table.snapshot(snapshot_id) if snapshot_id else self.table.current_snapshot()
         )
@@ -711,6 +774,7 @@ class CdcPipeline:
                 # per-file lsn coverage from footers — rides the write the
                 # merge does anyway (executor-side above the file threshold)
                 stats_cols=(INTERNAL_LAST_LSN,) if self.collect_part_stats else (),
+                bloom_cols=(self.key_col,) if self.key_blooms else (),
                 aligned=aligned,
             )
             if self.apply_mode == "mor":

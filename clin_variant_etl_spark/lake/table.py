@@ -118,13 +118,26 @@ def _load_shard(abs_path: str, io: FileIO = _DEFAULT_IO) -> list[dict]:
     return got
 
 
-def _read_footer_stats(path: str, cols: tuple[str, ...]) -> tuple[int, dict]:
-    """(row_count, {col: [min, max]}) from one parquet footer — metadata-only
-    read (no data pages).  Self-contained so it can run inside an executor
-    task (imports inside the function body)."""
+def _read_footer_stats(
+    path: str, cols: tuple[str, ...], bloom_cols: tuple[str, ...] = ()
+) -> tuple[int, dict, dict]:
+    """(row_count, {col: [min, max]}, {col: bloom}) from one parquet file.
+
+    min/max is a metadata-only footer read (no data pages); ``bloom_cols``
+    additionally reads JUST those columns' pages to build manifest blooms —
+    a narrow-column scan of a file the writer just produced (page cache
+    warm), paid only when the table opts in.  Self-contained so it can run
+    inside an executor task (imports inside the function body)."""
     import pyarrow.parquet as _pq
 
-    md = _pq.ParquetFile(path).metadata
+    pf = _pq.ParquetFile(path)
+    md = pf.metadata
+    blooms: dict[str, dict] = {}
+    for c in bloom_cols:
+        if c in pf.schema_arrow.names:
+            b = _build_bloom(pf.read(columns=[c]).column(c).to_pylist())
+            if b is not None:
+                blooms[c] = b
     stats: dict[str, list] = {}
     if cols:
         name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -142,7 +155,80 @@ def _read_footer_stats(path: str, cols: tuple[str, ...]) -> tuple[int, dict]:
                 hi = s.max if hi is None else max(hi, s.max)
             if lo is not None:
                 stats[c] = [lo, hi]
-    return md.num_rows, stats
+    return md.num_rows, stats, blooms
+
+
+def _build_bloom(
+    values, bits_per_row: int = 10, k: int = 5, max_bits: int = 1 << 19
+) -> dict | None:
+    """Manifest-carried bloom filter over one file's column values.
+
+    Spark's parquet reader does not consult parquet-native bloom filters and
+    pyarrow cannot read them, so the bloom lives in the manifest entry next
+    to the min/max stats (Iceberg carries the same idea in puffin files).
+    Membership is on ``str(value)`` (the CDC key is a string already);
+    double hashing (Kirsch-Mitzenmacher) over a sha1 digest gives k
+    deterministic, platform-independent probe positions.  10 bits/row with
+    k=5 ≈ 1% false-positive rate; sizes are the next power of two, capped at
+    ``max_bits`` (64 KiB of bitset) — a file too large for a useful bloom
+    stores none and is simply never pruned (conservative, like missing
+    min/max).
+    """
+    import base64 as _b64
+    import hashlib as _hashlib
+    import zlib as _zlib
+
+    n = len(values)
+    m = 1 << max(10, (n * bits_per_row - 1).bit_length() if n else 10)
+    if m > max_bits:
+        return None
+    arr = bytearray(m // 8)
+    for v in values:
+        if v is None:
+            continue  # null never matches an equality probe
+        d = _hashlib.sha1(str(v).encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:16], "little") | 1
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            arr[idx >> 3] |= 1 << (idx & 7)
+    return {
+        "m": m,
+        "k": k,
+        "b64": _b64.b64encode(_zlib.compress(bytes(arr))).decode("ascii"),
+    }
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    import base64 as _b64
+    import hashlib as _hashlib
+    import zlib as _zlib
+
+    if value is None:
+        return True  # conservative: equality-on-null is the caller's problem
+    arr = _zlib.decompress(_b64.b64decode(bloom["b64"]))
+    m = bloom["m"]
+    d = _hashlib.sha1(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:16], "little") | 1
+    for i in range(bloom["k"]):
+        idx = (h1 + i * h2) % m
+        if not (arr[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
+
+
+def _blooms_may_match(entry: dict, key_filter: dict[str, list]) -> bool:
+    """True unless some column's bloom PROVES none of the sought values are
+    in the file.  Files without a bloom for the column are always kept."""
+    blooms = entry.get("blooms") or {}
+    for col, values in key_filter.items():
+        b = blooms.get(col)
+        if not b or not values:
+            continue
+        if not any(_bloom_may_contain(b, v) for v in values):
+            return False
+    return True
 
 
 def _stats_may_match(entry: dict, stats_filter: dict[str, tuple]) -> bool:
@@ -167,9 +253,9 @@ def _stats_may_match(entry: dict, stats_filter: dict[str, tuple]) -> bool:
 
 
 def _collect_parquet_stats(
-    spark, paths: list[str], stats_cols: tuple[str, ...]
-) -> dict[str, tuple[int, dict]]:
-    """Per-file (rows, column min/max) for every path.
+    spark, paths: list[str], stats_cols: tuple[str, ...], bloom_cols: tuple[str, ...] = ()
+) -> dict[str, tuple[int, dict, dict]]:
+    """Per-file (rows, column min/max, column blooms) for every path.
 
     ≤ EXECUTOR_STATS_THRESHOLD files: driver-side loop (cheaper than a job).
     Above: one Spark job fans the footer reads over executors and collects
@@ -177,16 +263,48 @@ def _collect_parquet_stats(
     file *entry*, never O(files) footer round-trips.
     """
     if len(paths) <= EXECUTOR_STATS_THRESHOLD:
-        return {p: _read_footer_stats(p, stats_cols) for p in paths}
+        return {p: _read_footer_stats(p, stats_cols, bloom_cols) for p in paths}
     sc = spark.sparkContext
     n_slices = min(len(paths), sc.defaultParallelism * 2)
 
     # nested closure → cloudpickle serializes it BY VALUE, so executors
-    # don't need this repo on sys.path (same convention as the pandas UDFs)
-    def _footer(p, _cols=tuple(stats_cols)):
+    # don't need this repo on sys.path (same convention as the pandas UDFs).
+    # The bloom build is INLINED (not a call to module-level _build_bloom)
+    # for the same reason; tests/test_bloom_lookup.py pins the two
+    # implementations bit-for-bit equal.
+    def _footer(p, _cols=tuple(stats_cols), _bcols=tuple(bloom_cols)):
+        import base64 as _b64
+        import hashlib as _hashlib
+        import zlib as _zlib
+
         import pyarrow.parquet as _pq
 
-        md = _pq.ParquetFile(p).metadata
+        pf = _pq.ParquetFile(p)
+        md = pf.metadata
+        blooms = {}
+        for c in _bcols:
+            if c not in pf.schema_arrow.names:
+                continue
+            values = pf.read(columns=[c]).column(c).to_pylist()
+            n = len(values)
+            m = 1 << max(10, (n * 10 - 1).bit_length() if n else 10)
+            if m > (1 << 19):
+                continue
+            arr = bytearray(m // 8)
+            for v in values:
+                if v is None:
+                    continue
+                d = _hashlib.sha1(str(v).encode("utf-8")).digest()
+                h1 = int.from_bytes(d[:8], "little")
+                h2 = int.from_bytes(d[8:16], "little") | 1
+                for i in range(5):
+                    idx = (h1 + i * h2) % m
+                    arr[idx >> 3] |= 1 << (idx & 7)
+            blooms[c] = {
+                "m": m,
+                "k": 5,
+                "b64": _b64.b64encode(_zlib.compress(bytes(arr))).decode("ascii"),
+            }
         stats = {}
         if _cols:
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -204,7 +322,7 @@ def _collect_parquet_stats(
                     hi = s.max if hi is None else max(hi, s.max)
                 if lo is not None:
                     stats[c] = [lo, hi]
-        return p, (md.num_rows, stats)
+        return p, (md.num_rows, stats, blooms)
 
     return dict(sc.parallelize(paths, n_slices).map(_footer).collect())
 
@@ -457,9 +575,15 @@ class LakeTable:
         target_partitions: int | None = None,
         split_expr: F.Column | None = None,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
         aligned: bool = False,
     ) -> list[dict]:
         """Write df as new immutable data files; return manifest entries.
+
+        ``bloom_cols``: additionally build a manifest-carried bloom filter
+        per file for these columns (see ``_build_bloom``), enabling
+        ``read(key_filter=…)`` point-lookup file skipping.  Costs one
+        narrow-column re-read of each written file at commit time.
 
         Partition columns are *duplicated* into ``__p_*`` columns for
         partitionBy, so the originals stay inside the data files (no
@@ -524,11 +648,11 @@ class LakeTable:
             staged.append((absf, os.path.relpath(absf, self.path), pvals))
 
         stats = _collect_parquet_stats(
-            df.sparkSession, [s[0] for s in staged], stats_cols
+            df.sparkSession, [s[0] for s in staged], stats_cols, bloom_cols
         )
         entries: list[dict] = []
         for absf, rel, pvals in staged:
-            nrows, col_stats = stats[absf]
+            nrows, col_stats, col_blooms = stats[absf]
             if nrows == 0:
                 self.io.delete(absf)
                 continue
@@ -540,6 +664,8 @@ class LakeTable:
             }
             if col_stats:
                 e["stats"] = col_stats
+            if col_blooms:
+                e["blooms"] = col_blooms
             entries.append(e)
         return entries
 
@@ -685,6 +811,7 @@ class LakeTable:
         partition_filter: dict[str, set[str]] | None = None,
         ref: str | None = None,
         stats_filter: dict[str, tuple] | None = None,
+        key_filter: dict[str, list] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally time-traveled / ref-pinned / partition-pruned).
 
@@ -701,6 +828,14 @@ class LakeTable:
         At 100 TB this is the difference between an incremental reader
         scanning O(delta) files vs O(table): e.g. LSN-range change feeds
         open only files whose lsn span intersects the requested window.
+
+        ``key_filter``: {col: [values]} — skip files whose manifest bloom
+        (written via ``write_data_files(bloom_cols=…)``) proves NONE of the
+        sought values are present.  Equally conservative: files without a
+        bloom are kept, and a bloom hit is only "maybe" (callers still apply
+        the row filter).  min/max cannot prune high-cardinality string keys
+        (writers truncate string stats), which is exactly the point-lookup
+        case blooms cover.
         """
         if ref is not None:
             if snapshot_id is not None:
@@ -730,6 +865,8 @@ class LakeTable:
                 ]
         if stats_filter:
             files = [f for f in files if _stats_may_match(f, stats_filter)]
+        if key_filter:
+            files = [f for f in files if _blooms_may_match(f, key_filter)]
         if not files:
             return spark.createDataFrame([], snap.schema)
 

@@ -1,0 +1,113 @@
+"""Manifest bloom filters (``write_data_files(bloom_cols=…)``) + keyed point
+lookups (``CdcPipeline.lookup``): file skipping for equality probes that
+min/max stats cannot serve (high-cardinality string keys), layered under the
+existing bucket pruning.
+
+Correctness oracle: lookup == read_state filtered to the same keys, on a mor
+table where base + delta files coexist.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from clin_variant_etl_spark.engine import CdcPipeline, create_cdc_table
+from clin_variant_etl_spark.lake import table as table_mod
+from clin_variant_etl_spark.lake.table import (
+    _bloom_may_contain,
+    _blooms_may_match,
+    _build_bloom,
+    _collect_parquet_stats,
+)
+from clin_variant_etl_spark.schemas import BASE_DOCS_SCHEMA
+from clin_variant_etl_spark.testgen import (
+    EventGenConfig,
+    generate_change_events,
+    write_events_by_epoch,
+)
+
+
+def test_bloom_membership_and_fpr():
+    vals = [f"doc-{i}" for i in range(500)]
+    b = _build_bloom(vals)
+    assert all(_bloom_may_contain(b, v) for v in vals)  # no false negatives
+    misses = sum(_bloom_may_contain(b, f"other-{i}") for i in range(2000))
+    assert misses / 2000 < 0.05  # ~1% design FPR, generous margin
+    # None is skipped on build and conservative on probe
+    b2 = _build_bloom(["x", None])
+    assert _bloom_may_contain(b2, "x") and _bloom_may_contain(b2, None)
+    # oversize → no bloom (file stays unprunable, never wrongly dropped)
+    assert _build_bloom(["v"] * 10, max_bits=16) is None
+
+
+def test_blooms_may_match_conservative():
+    b = _build_bloom(["a", "b"])
+    e = {"blooms": {"doc_id": b}}
+    assert _blooms_may_match(e, {"doc_id": ["a"]})
+    assert _blooms_may_match(e, {"doc_id": ["zz-not-there", "b"]})
+    assert not _blooms_may_match(e, {"doc_id": ["zz-not-there"]})
+    # no bloom for the column / no blooms at all / empty probe → keep
+    assert _blooms_may_match(e, {"other": ["q"]})
+    assert _blooms_may_match({}, {"doc_id": ["q"]})
+    assert _blooms_may_match(e, {"doc_id": []})
+
+
+def test_driver_and_executor_bloom_paths_agree(spark, tmp_path, monkeypatch):
+    """The executor closure inlines the bloom build (cloudpickle by-value
+    convention) — pin it bit-for-bit equal to the canonical _build_bloom."""
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"f{i}.parquet")
+        pd.DataFrame({"doc_id": [f"d{i}-{j}" for j in range(40)]}).to_parquet(p)
+        paths.append(p)
+    driver = _collect_parquet_stats(spark, paths, (), ("doc_id",))
+    monkeypatch.setattr(table_mod, "EXECUTOR_STATS_THRESHOLD", 2)
+    executor = _collect_parquet_stats(spark, paths, (), ("doc_id",))
+    assert driver == executor
+    assert all(driver[p][2]["doc_id"]["b64"] for p in paths)
+
+
+@pytest.fixture(scope="module")
+def bloom_pipe(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bloom")
+    cfg = EventGenConfig(n_docs=120, n_events=1200, n_epochs=4, seed=11)
+    tbl = generate_change_events(cfg)
+    write_events_by_epoch(tbl, str(tmp / "events"))
+    create_cdc_table(str(tmp / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp / "docs"), apply_mode="mor", key_blooms=True)
+    for ep in range(4):
+        pipe.apply_epoch(spark.read.parquet(f"{tmp}/events/epoch={ep}"), epoch_id=ep)
+    return pipe
+
+
+def test_lookup_matches_filtered_read_state(spark, bloom_pipe):
+    state = bloom_pipe.read_state().toPandas().sort_values("doc_id")
+    live = list(state["doc_id"])
+    probe = live[:3] + ["doc-never-existed"]
+    got = bloom_pipe.lookup(probe).toPandas().sort_values("doc_id")
+    want = state[state["doc_id"].isin(probe)]
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    for a, b in zip(
+        got.to_dict("records"), want.to_dict("records"), strict=True
+    ):
+        assert list(a["tokens"]) == list(b["tokens"]) and a["n_tok"] == b["n_tok"]
+    # a deleted key returns no row
+    deleted = bloom_pipe._read_resolved().where(F.col("_deleted")).limit(1).collect()
+    if deleted:
+        assert bloom_pipe.lookup([deleted[0]["doc_id"]]).count() == 0
+    # empty probe: empty frame, state schema
+    assert bloom_pipe.lookup([]).count() == 0
+
+
+def test_lookup_opens_strictly_fewer_files(spark, bloom_pipe):
+    """Both pruning layers bite: the lookup's scan opens a strict subset of
+    the full-state scan's files (bucket pruning alone can't explain it on a
+    single-bucket probe of a 4-epoch mor table — the bloom must drop delta
+    files of the same bucket that don't mention the key)."""
+    state = bloom_pipe.read_state()
+    key = state.limit(1).collect()[0]["doc_id"]
+    looked = bloom_pipe.lookup([key])
+    assert set(looked.inputFiles()) < set(state.inputFiles())
+    # every file entry this pipeline committed carries a key bloom
+    snap = bloom_pipe.table.current_snapshot()
+    assert all("doc_id" in (e.get("blooms") or {}) for e in snap.files)

@@ -89,13 +89,14 @@ def test_stats_driver_and_executor_paths_agree(spark, tmp_path, monkeypatch):
     executor = _collect_parquet_stats(spark, paths, ("lsn",))
     assert driver == executor
     for i, p in enumerate(paths):
-        rows, stats = driver[p]
+        rows, stats, blooms = driver[p]
         assert rows == 5
         assert stats["lsn"] == [i * 10, i * 10 + 4]
+        assert blooms == {}
 
 
 def test_stats_missing_column_ok(spark, tmp_path):
     p = str(tmp_path / "f.parquet")
     _write_tiny(p, 0, 3)
-    rows, stats = _collect_parquet_stats(spark, [p], ("not_there",))[p]
-    assert rows == 4 and stats == {}
+    rows, stats, blooms = _collect_parquet_stats(spark, [p], ("not_there",))[p]
+    assert rows == 4 and stats == {} and blooms == {}
