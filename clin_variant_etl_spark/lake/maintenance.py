@@ -199,8 +199,22 @@ def compact(
             split = F.pmod(row_hash, k_expr)
 
     stats_cols = tuple(cluster_by) if cluster_by else ()
+    # preserve point-lookup pruning across the rewrite: if the inputs carry
+    # manifest blooms (the table opted in via bloom_cols at write time),
+    # re-bloom the same columns on the compacted outputs — otherwise a fold
+    # would silently erase lookup()'s file skipping (conservative = correct,
+    # but O(bucket files) probes again until the next bloomed commit)
+    rewritten_inputs = (
+        [f for p in pfilter[spec[0].name] for f in by_part[p]]
+        if selective
+        else snap.files
+    )
+    bloom_cols = tuple(
+        sorted({c for e in rewritten_inputs for c in (e.get("blooms") or {})})
+    )
     files = table.write_data_files(
-        df, snap.schema_id, spec, split_expr=split, stats_cols=stats_cols
+        df, snap.schema_id, spec, split_expr=split, stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
     )
     if selective:
         return table.commit(

@@ -111,3 +111,28 @@ def test_lookup_opens_strictly_fewer_files(spark, bloom_pipe):
     # every file entry this pipeline committed carries a key bloom
     snap = bloom_pipe.table.current_snapshot()
     assert all("doc_id" in (e.get("blooms") or {}) for e in snap.files)
+
+
+def test_compaction_preserves_blooms(spark, tmp_path):
+    """A mor fold must not erase lookup()'s pruning: compact re-blooms the
+    columns its input files carried blooms for."""
+    from clin_variant_etl_spark.lake.maintenance import compact
+    from clin_variant_etl_spark.schemas import INTERNAL_LAST_LSN
+
+    cfg = EventGenConfig(n_docs=80, n_events=800, n_epochs=3, seed=7)
+    tbl = generate_change_events(cfg)
+    write_events_by_epoch(tbl, str(tmp_path / "events"))
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), apply_mode="mor", key_blooms=True)
+    for ep in range(3):
+        pipe.apply_epoch(spark.read.parquet(f"{tmp_path}/events/epoch={ep}"), epoch_id=ep)
+    before = pipe.read_state().toPandas().sort_values("doc_id")
+    compact(spark, pipe.table, resolve_keep_latest=("doc_id", INTERNAL_LAST_LSN))
+    snap = pipe.table.current_snapshot()
+    assert all("doc_id" in (e.get("blooms") or {}) for e in snap.files)
+    after = pipe.read_state().toPandas().sort_values("doc_id")
+    assert list(before["doc_id"]) == list(after["doc_id"])
+    key = before["doc_id"].iloc[0]
+    looked = pipe.lookup([key])
+    assert looked.count() == 1
+    assert set(looked.inputFiles()) < set(pipe.read_state().inputFiles())
