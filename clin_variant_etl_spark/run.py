@@ -83,12 +83,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stream-checkpoint", default=None, help="Structured Streaming checkpoint dir")
     p.add_argument(
         "--mode",
-        choices=["drain", "tail", "maintain"],
+        choices=["drain", "tail", "maintain", "lookup"],
         default="drain",
         help="drain/tail ingest the event log; maintain runs the out-of-band "
         "table-maintenance pass (compact + mor delta fold, snapshot expiry, "
         "orphan-file GC) a production deployment schedules separately from "
-        "the ingest job so fold cost never rides the ingest critical path",
+        "the ingest job so fold cost never rides the ingest critical path; "
+        "lookup prints the visible state of --keys as JSON lines (bucket + "
+        "bloom pruned — see CdcPipeline.lookup)",
     )
     p.add_argument("--trigger-seconds", type=int, default=30)
     p.add_argument("--key-col", default="doc_id")
@@ -134,9 +136,20 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="skip the mor base+delta fold during compaction (bin-pack only)",
     )
+    p.add_argument(
+        "--key-blooms",
+        action="store_true",
+        help="stamp per-file key blooms into every commit's manifest "
+        "(enables lookup-mode file skipping; costs one narrow key-column "
+        "re-read per written file at commit time)",
+    )
+    # lookup-mode knobs (--mode lookup)
+    p.add_argument("--keys", default=None, help="comma-separated keys to look up")
     args = p.parse_args(argv)
     if args.mode in ("drain", "tail") and not (args.events_dir and args.stream_checkpoint):
         p.error(f"--mode {args.mode} requires --events-dir and --stream-checkpoint")
+    if args.mode == "lookup" and not args.keys:
+        p.error("--mode lookup requires --keys")
 
     spark = build_session(args.app_name)
     if args.mode == "maintain":
@@ -177,6 +190,15 @@ def main(argv: list[str] | None = None) -> int:
             f"expired {len(expired)} snapshots, GC'd {len(orphans)} orphan files"
         )
         return 0
+    if args.mode == "lookup":
+        import json
+
+        pipe = CdcPipeline(spark, args.table, key_col=args.key_col)
+        rows = pipe.lookup([k for k in args.keys.split(",") if k]).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(recursive=True), default=str))
+        print(f"lookup: {len(rows)} row(s)", file=sys.stderr)
+        return 0
     if not LakeTable.exists(args.table):
         create_cdc_table(args.table, BASE_DOCS_SCHEMA, key_col=args.key_col, n_buckets=args.n_buckets)
     pipe = CdcPipeline(
@@ -188,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         n_salts=args.n_salts,
         apply_mode=args.apply_mode,
         dedup_variant=args.dedup_variant,
+        key_blooms=args.key_blooms,
     )
     schema = {
         "v1": CHANGE_EVENTS_SCHEMA,

@@ -130,3 +130,33 @@ def test_drain_requires_event_source(cli_env):
 def test_maintain_requires_no_event_source(spark, cli_env):
     # re-running maintain on an already-folded table is a harmless no-op pass
     assert main(["--mode", "maintain", "--table", cli_env["table"]]) == 0
+
+
+def test_drain_with_key_blooms_then_lookup_mode(spark, cli_env, capsys):
+    """--key-blooms stamps blooms on ingest commits; --mode lookup prints
+    the visible state of the requested keys as JSON lines."""
+    import json
+
+    root = cli_env["root"]
+    argv = _drain_args(cli_env)
+    argv[argv.index("--table") + 1] = os.path.join(root, "docs_bloomed")
+    argv[argv.index("--stream-checkpoint") + 1] = os.path.join(root, "ckpt_bloomed")
+    argv[argv.index("--checkpoint-table") + 1] = os.path.join(root, "epochs_bloomed")
+    argv[argv.index("--lineage") + 1] = os.path.join(root, "lineage_bloomed")
+    assert main(argv + ["--key-blooms"]) == 0
+    t = LakeTable(os.path.join(root, "docs_bloomed"))
+    assert all("doc_id" in (e.get("blooms") or {}) for e in t.current_snapshot().files)
+
+    pipe = CdcPipeline(spark, os.path.join(root, "docs_bloomed"), apply_mode="mor")
+    keys = [r["doc_id"] for r in pipe.read_state().limit(2).collect()]
+    capsys.readouterr()  # drop drain-mode output
+    assert main(["--mode", "lookup", "--table", os.path.join(root, "docs_bloomed"),
+                 "--keys", ",".join(keys + ["nope-never"])]) == 0
+    out = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["doc_id"] for r in out) == sorted(keys)
+    assert all("tokens" in r and "n_tok" in r for r in out)
+
+
+def test_lookup_mode_requires_keys(cli_env):
+    with pytest.raises(SystemExit):
+        main(["--mode", "lookup", "--table", cli_env["table"]])
