@@ -44,7 +44,9 @@ THIS round.  Slots rotate so every query gets a driver row in some round:
       scan_vcf_info (the A1 VCF contract made first-class),
       multimodal_bmp_decode (real stdlib image codec, the WAV sibling),
       multimodal_png_decode (real COMPRESSED codec: zlib DEFLATE, chunk
-      CRCs, full scanline unfiltering)
+      CRCs, full scanline unfiltering),
+      text_segment_dedup (CCNet-style corpus boilerplate-segment removal
+      with full-reconstruction md5 oracle)
 """
 
 from __future__ import annotations

@@ -797,3 +797,88 @@ def decontaminate_benchmark(spark, sf_dir):
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.col("n_hits") > 0).alias("contaminated"),
     )
+
+
+# =========================================================================
+# Corpus-level repeated-segment removal (CCNet/C4 boilerplate-line dedup,
+# mapped to this corpus's newline-free word streams): a doc's text is cut
+# into consecutive SEG_LEN-word segments; any segment occurring in more
+# than MAX_SEG_DF distinct documents is boilerplate and is dropped from
+# every document that contains it.  Plan shape at 100 TB:
+# - the (seg, doc_id) distinct pass bounds aggregation state to O(1) per
+#   PAIR before the per-segment count (a count_distinct keyed on seg would
+#   hold O(corpus) doc_ids of state for a hot boilerplate segment — the r3
+#   jaccard lesson applied up front);
+# - both consumers of the exploded segment frame re-derive it from the
+#   PERSISTED words column (_words_df) — slice+join over a materialized
+#   array is cheap, and caching an exploded corpus-sized frame is the
+#   anti-pattern dedup_ngram_jaccard's docstring documents;
+# - per-doc reassembly state is bounded by the doc's own segment count.
+# Reference N/A (no corpus-level text ops) — LLM-pipeline extension per the
+# build brief.
+# =========================================================================
+SEG_LEN = 3
+MAX_SEG_DF = 4
+
+_SEG_DEDUP_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, {_words_sql("text")} AS ws FROM documents
+), segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[(i*{SEG_LEN}+1):(i*{SEG_LEN}+{SEG_LEN})], ' ') AS seg
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws)/{SEG_LEN}.0) AS INT) - 1)) AS i
+  ) g
+  WHERE len(ws) >= 1
+), seg_df AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+), marked AS (
+  SELECT s.doc_id, s.pos, s.seg, d.df <= {MAX_SEG_DF} AS keep
+  FROM segs s JOIN seg_df d USING (seg)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seg,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos), ''))
+         AS cleaned_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+@query(
+    "text_segment_dedup",
+    oracle=_SEG_DEDUP_ORACLE,
+    survey="dedup-line,text-quality,D1,C2,H-array",
+    gate=False,  # dedup family gated via dedup_exact_content / minhash / jaccard
+)
+def text_segment_dedup(spark, sf_dir):
+    """Drop corpus-boilerplate segments from every document, keeping the
+    survivors in original order (cleaned text fingerprinted by md5 so the
+    oracle compares full reconstruction, not just counts)."""
+    w = _words_df(spark, sf_dir).where(F.size("ws") >= 1)
+    idx = F.sequence(F.lit(0), F.ceil(F.size("ws") / SEG_LEN).cast("int") - 1)
+    seg_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("ws"), i * SEG_LEN + 1, SEG_LEN), " ")
+    )
+    segs = w.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    # exact per-segment document frequency with bounded state: distinct
+    # (seg, doc) pairs first, then a plain count
+    seg_df = (
+        segs.select("seg", "doc_id").distinct()
+        .groupBy("seg").agg(F.count(F.lit(1)).alias("df"))
+    )
+    marked = segs.join(seg_df, "seg").withColumn("keep", F.col("df") <= MAX_SEG_DF)
+    kept_in_order = F.transform(
+        F.array_sort(F.collect_list(F.when(F.col("keep"), F.struct("pos", "seg")))),
+        lambda x: x["seg"],
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.md5(F.array_join(kept_in_order, " ")).alias("cleaned_md5"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_seg", "n_kept", "n_dropped", "cleaned_md5",
+    )
