@@ -271,19 +271,42 @@ class CdcPipeline:
         keys = list(keys)
         if not keys:
             return self.read_state(snapshot_id).limit(0)
+        # spec + schema come from the PINNED snapshot: a time-traveled lookup
+        # across a partition-spec change (migrate.update_partitioning) must
+        # hash keys with the spec the snapshot's files were written under —
+        # the current spec would prune every shard of the old layout
+        snap = (
+            self.table.snapshot(snapshot_id)
+            if snapshot_id
+            else self.table.current_snapshot()
+        )
+        field = next(
+            (f for f in snap.schema.fields if f.name == self.key_col), None
+        )
+        if field is None:
+            raise ValueError(
+                f"lookup: key column {self.key_col!r} not in table schema "
+                f"({[f.name for f in snap.schema.fields]})"
+            )
+        # coerce probe values to the key column's Python type (CLI callers
+        # pass strings) so the bucket hash, the bloom probe (built on
+        # str(typed value)), and the pushed isin all compare typed-equal
+        if isinstance(field.dataType, T.StringType):
+            keys = [str(k) for k in keys]
+        elif isinstance(field.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            keys = [int(k) for k in keys]
+        elif isinstance(field.dataType, (T.DoubleType, T.FloatType)):
+            keys = [float(k) for k in keys]
         pf = None
-        spec = self.table.partition_spec
+        spec = snap.partition_spec
         if (
             spec
             and spec[0].source_col == self.key_col
             and spec[0].transform in ("bucket", "bucket_m3")
         ):
-            key_type = next(
-                f.dataType for f in self.table.schema.fields if f.name == self.key_col
-            )
             kdf = self.spark.createDataFrame(
                 [(k,) for k in keys],
-                T.StructType([T.StructField(self.key_col, key_type)]),
+                T.StructType([T.StructField(self.key_col, field.dataType)]),
             )
             buckets = {r["b"] for r in kdf.select(spec[0].expr().alias("b")).collect()}
             pf = {spec[0].name: buckets}

@@ -127,7 +127,14 @@ def update_partitioning(spark: SparkSession, table: LakeTable, new_spec) -> Snap
     the new snapshot gets a fresh timestamp so time travel stays coherent."""
     snap = table.current_snapshot()
     df = table.read(spark, snapshot_id=snap.snapshot_id)
-    files = table.write_data_files(df, snap.schema_id, new_spec)
+    # same invariant as maintenance.compact: a full rewrite must not
+    # silently erase manifest blooms a bloomed table relies on for lookups
+    bloom_cols = tuple(
+        sorted({c for e in snap.files for c in (e.get("blooms") or {})})
+    )
+    files = table.write_data_files(
+        df, snap.schema_id, new_spec, bloom_cols=bloom_cols
+    )
     return table.commit(
         "update_partitioning",
         files,

@@ -47,6 +47,7 @@ import json
 import os
 import time
 import uuid
+import warnings
 from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
@@ -133,11 +134,14 @@ def _read_footer_stats(
     pf = _pq.ParquetFile(path)
     md = pf.metadata
     blooms: dict[str, dict] = {}
-    for c in bloom_cols:
-        if c in pf.schema_arrow.names:
-            b = _build_bloom(pf.read(columns=[c]).column(c).to_pylist())
-            if b is not None:
-                blooms[c] = b
+    # oversize gate BEFORE the column read: the row count alone decides
+    # whether a bloom can fit the cap, so files past it never pay the scan
+    if bloom_cols and md.num_rows <= BLOOM_MAX_ROWS:
+        for c in bloom_cols:
+            if c in pf.schema_arrow.names:
+                b = _build_bloom(pf.read(columns=[c]).column(c).to_pylist())
+                if b is not None:
+                    blooms[c] = b
     stats: dict[str, list] = {}
     if cols:
         name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -156,6 +160,15 @@ def _read_footer_stats(
             if lo is not None:
                 stats[c] = [lo, hi]
     return md.num_rows, stats, blooms
+
+
+# the bloom cap: 2^19 bits = 64 KiB of bitset per (file, column) in the
+# manifest; at 10 bits/row that admits files up to this many rows.  Files
+# above it store no bloom (never wrongly pruned, just not skippable) — the
+# lookup()-relevant files are the SMALL ones (per-epoch mor deltas); a
+# compacted base file is one-per-bucket anyway, so bucket pruning already
+# isolates it and a bloom would add manifest weight for little skipping.
+BLOOM_MAX_ROWS = (1 << 19) // 10
 
 
 def _build_bloom(
@@ -199,34 +212,45 @@ def _build_bloom(
     }
 
 
-def _bloom_may_contain(bloom: dict, value) -> bool:
+def _bloom_bits(bloom: dict) -> bytes:
     import base64 as _b64
-    import hashlib as _hashlib
     import zlib as _zlib
+
+    return _zlib.decompress(_b64.b64decode(bloom["b64"]))
+
+
+def _bits_may_contain(arr: bytes, m: int, k: int, value) -> bool:
+    import hashlib as _hashlib
 
     if value is None:
         return True  # conservative: equality-on-null is the caller's problem
-    arr = _zlib.decompress(_b64.b64decode(bloom["b64"]))
-    m = bloom["m"]
     d = _hashlib.sha1(str(value).encode("utf-8")).digest()
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:16], "little") | 1
-    for i in range(bloom["k"]):
+    for i in range(k):
         idx = (h1 + i * h2) % m
         if not (arr[idx >> 3] >> (idx & 7)) & 1:
             return False
     return True
 
 
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    return _bits_may_contain(_bloom_bits(bloom), bloom["m"], bloom["k"], value)
+
+
 def _blooms_may_match(entry: dict, key_filter: dict[str, list]) -> bool:
     """True unless some column's bloom PROVES none of the sought values are
-    in the file.  Files without a bloom for the column are always kept."""
+    in the file.  Files without a bloom for the column are always kept.
+    Each bloom's bitset is decompressed ONCE per entry, then probed per
+    value (K values x F files would otherwise re-inflate 64 KiB bitsets
+    K x F times on the driver)."""
     blooms = entry.get("blooms") or {}
     for col, values in key_filter.items():
         b = blooms.get(col)
         if not b or not values:
             continue
-        if not any(_bloom_may_contain(b, v) for v in values):
+        arr, m, k = _bloom_bits(b), b["m"], b["k"]
+        if not any(_bits_may_contain(arr, m, k, v) for v in values):
             return False
     return True
 
@@ -282,7 +306,8 @@ def _collect_parquet_stats(
         pf = _pq.ParquetFile(p)
         md = pf.metadata
         blooms = {}
-        for c in _bcols:
+        # row-count gate mirrors BLOOM_MAX_ROWS (no column read past the cap)
+        for c in _bcols if md.num_rows <= (1 << 19) // 10 else ():
             if c not in pf.schema_arrow.names:
                 continue
             values = pf.read(columns=[c]).column(c).to_pylist()
@@ -667,6 +692,18 @@ class LakeTable:
             if col_blooms:
                 e["blooms"] = col_blooms
             entries.append(e)
+        if bloom_cols:
+            missed = sum(1 for e in entries if not e.get("blooms"))
+            if missed:
+                # surfaced, not silent: these files commit fine but lookups
+                # cannot skip them (BLOOM_MAX_ROWS cap) — expected for big
+                # compacted base files, worth knowing about for delta writes
+                warnings.warn(
+                    f"write_data_files: {missed}/{len(entries)} files exceed "
+                    f"BLOOM_MAX_ROWS ({BLOOM_MAX_ROWS}) — committed without "
+                    f"key blooms; lookup() scans them unpruned",
+                    stacklevel=2,
+                )
         return entries
 
     def append_rows_local(

@@ -136,3 +136,64 @@ def test_compaction_preserves_blooms(spark, tmp_path):
     looked = pipe.lookup([key])
     assert looked.count() == 1
     assert set(looked.inputFiles()) < set(pipe.read_state().inputFiles())
+
+
+def test_lookup_time_travel_across_partition_respec(spark, tmp_path):
+    """A time-traveled lookup must hash keys with the PINNED snapshot's
+    spec, not the current one — after update_partitioning the old layout's
+    buckets would otherwise all be pruned (code-review finding)."""
+    from clin_variant_etl_spark.lake.migrate import update_partitioning
+    from clin_variant_etl_spark.lake.table import PartitionField
+
+    cfg = EventGenConfig(n_docs=60, n_events=600, n_epochs=2, seed=5)
+    tbl = generate_change_events(cfg)
+    write_events_by_epoch(tbl, str(tmp_path / "events"))
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), key_blooms=True)
+    for ep in range(2):
+        pipe.apply_epoch(spark.read.parquet(f"{tmp_path}/events/epoch={ep}"), epoch_id=ep)
+    old_sid = pipe.table.current_snapshot().snapshot_id
+    key = pipe.read_state().limit(1).collect()[0]["doc_id"]
+
+    update_partitioning(
+        spark, pipe.table, [PartitionField("bucket", "doc_id", "bucket_m3", 8)]
+    )
+    # blooms survive the respec rewrite (same invariant as compact)
+    assert all(
+        "doc_id" in (e.get("blooms") or {})
+        for e in pipe.table.current_snapshot().files
+    )
+    # current-snapshot lookup under the new spec
+    assert pipe.lookup([key]).count() == 1
+    # time-traveled lookup under the OLD spec
+    assert pipe.lookup([key], snapshot_id=old_sid).count() == 1
+
+
+def test_lookup_unknown_key_col_raises(spark, bloom_pipe):
+    bad = CdcPipeline(spark, bloom_pipe.table.path, key_col="not_a_column")
+    with pytest.raises(ValueError, match="not_a_column"):
+        bad.lookup(["x"])
+
+
+def test_bloom_cap_skips_large_files_and_warns(spark, tmp_path):
+    """Files past BLOOM_MAX_ROWS commit without a bloom (row-count gate, no
+    wasted column read) and the writer surfaces it instead of staying
+    silent."""
+    from pyspark.sql import types as T
+
+    from clin_variant_etl_spark.lake.table import (
+        BLOOM_MAX_ROWS,
+        LakeTable,
+        PartitionField,
+    )
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+    t = LakeTable.create(
+        str(tmp_path / "big"), schema, [PartitionField("bucket", "doc_id", "bucket", 1)]
+    )
+    df = spark.range(BLOOM_MAX_ROWS + 1).withColumnRenamed("id", "doc_id")
+    with pytest.warns(UserWarning, match="BLOOM_MAX_ROWS"):
+        files = t.write_data_files(
+            df.coalesce(1), 0, t.partition_spec, bloom_cols=("doc_id",)
+        )
+    assert files and all(not e.get("blooms") for e in files)
