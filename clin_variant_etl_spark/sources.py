@@ -184,6 +184,8 @@ def write_es_bulk(
     index: str,
     id_col: str,
     doc_cols: list[str] | None = None,
+    op_col: str | None = None,
+    delete_value: str = "delete",
 ) -> None:
     """Elasticsearch ``_bulk``-protocol sink (SURVEY §2 A9; reference:
     PublishToElasticsearch / the es-spark sink in etl/es).
@@ -201,10 +203,18 @@ def write_es_bulk(
     snapshot-suffixed index, then move the alias after QC, so readers never
     see a half-loaded index.
 
+    ``op_col``: name of a column distinguishing deletes — rows whose value
+    equals ``delete_value`` render as a one-line ``{"delete":{…}}`` action
+    (no source line; by-id deletes are idempotent under redelivery like the
+    index actions), everything else as the two-line index unit.  This is
+    the CDC→search-index contract: feed ``CdcPipeline.read_changes`` /
+    ``CdfConsumer`` output straight in with ``op_col="_change_type"`` and
+    the bulk stream carries upserts AND deletions of the window.
+
     Both JSON lines are built with ``to_json`` (never string concat), so
     ids and values are escaped correctly.
     """
-    cols = doc_cols or [c for c in df.columns]
+    cols = doc_cols or [c for c in df.columns if c != op_col]
     # a NULL id would render an id-less action line and ES would mint a
     # fresh _id per delivery — exactly the duplication the explicit-_id
     # contract exists to prevent; fail the job instead of shipping it
@@ -214,18 +224,17 @@ def write_es_bulk(
             "string"
         ),
     ).otherwise(F.col(id_col).cast("string"))
-    action = F.to_json(
-        F.struct(
-            F.struct(
-                F.lit(index).alias("_index"),
-                checked_id.alias("_id"),
-            ).alias("index")
-        )
+    target = F.struct(
+        F.lit(index).alias("_index"),
+        checked_id.alias("_id"),
     )
+    index_action = F.to_json(F.struct(target.alias("index")))
     doc = F.to_json(F.struct(*[F.col(c) for c in cols]))
-    df.select(F.concat_ws("\n", action, doc).alias("value")).write.mode(
-        "overwrite"
-    ).text(target_dir)
+    unit = F.concat_ws("\n", index_action, doc)
+    if op_col is not None:
+        delete_action = F.to_json(F.struct(target.alias("delete")))
+        unit = F.when(F.col(op_col) == delete_value, delete_action).otherwise(unit)
+    df.select(unit.alias("value")).write.mode("overwrite").text(target_dir)
 
 
 def write_single_csv(

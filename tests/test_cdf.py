@@ -212,3 +212,56 @@ def test_stats_may_match_string_stats_never_prune():
     e = {"stats": {"source": ["aaa", "mmm"]}}
     assert _stats_may_match(e, {"source": ("zzz", None)})
     assert _stats_may_match(e, {"source": (None, "AAA")})
+
+
+def test_cdf_to_es_bulk_incremental_sync(spark, tmp_path):
+    """The canonical CDC consumer: CdfConsumer drains the change feed into
+    the ES _bulk sink (upserts as index actions, tombstones as delete
+    actions).  Replaying every emitted bulk file into a dict — exactly what
+    ES does with explicit _ids — must reproduce the table's visible state."""
+    import glob
+    import json
+
+    from clin_variant_etl_spark.engine.consume import CdfConsumer
+    from clin_variant_etl_spark.sources import write_es_bulk
+
+    cfg = EventGenConfig(n_docs=100, n_events=900, n_epochs=3, seed=13)
+    tbl = generate_change_events(cfg)
+    write_events_by_epoch(tbl, str(tmp_path / "events"))
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"), apply_mode="mor")
+    consumer = CdfConsumer(pipe, str(tmp_path / "cursor.json"))
+
+    drains = []
+    for ep in range(3):
+        pipe.apply_epoch(spark.read.parquet(f"{tmp_path}/events/epoch={ep}"), epoch_id=ep)
+        out = str(tmp_path / f"bulk_{ep}")
+        consumer.drain(
+            lambda feed, out=out: write_es_bulk(
+                feed, out, index="docs-v1", id_col="doc_id",
+                doc_cols=["doc_id", "n_tok", "source"], op_col="_change_type",
+            )
+        )
+        drains.append(out)
+
+    es: dict[str, dict] = {}
+    deletes_seen = 0
+    for out in drains:  # drain order matters; within a drain each key is net
+        for part in sorted(glob.glob(f"{out}/part-*")):
+            lines = [l for l in open(part).read().splitlines() if l]
+            i = 0
+            while i < len(lines):
+                act = json.loads(lines[i])
+                if "delete" in act:
+                    es.pop(act["delete"]["_id"], None)
+                    deletes_seen += 1
+                    i += 1
+                else:
+                    es[act["index"]["_id"]] = json.loads(lines[i + 1])
+                    i += 2
+
+    state = {r["doc_id"]: r for r in pipe.read_state().collect()}
+    assert deletes_seen > 0  # the generator's delete rate actually exercised it
+    assert sorted(es) == sorted(state)
+    for k, doc in es.items():
+        assert doc["n_tok"] == state[k]["n_tok"] and doc["source"] == state[k]["source"]

@@ -107,3 +107,26 @@ def test_write_es_bulk_null_id_fails_loudly(spark, tmp_path):
     df = spark.createDataFrame([(None, "x")], "doc_id long, txt string")
     with pytest.raises(Exception, match="null doc_id"):
         write_es_bulk(df, str(tmp_path / "bulk"), index="docs", id_col="doc_id")
+
+
+def test_write_es_bulk_delete_actions(spark, tmp_path):
+    """op_col rows marked delete render as one-line delete actions (no
+    source line) and everything else keeps the two-line index unit."""
+    import glob
+    import json
+
+    df = spark.createDataFrame(
+        [(1, "keep", "upsert"), (2, "gone", "delete")],
+        "doc_id long, txt string, _change_type string",
+    )
+    out = str(tmp_path / "bulk_del")
+    write_es_bulk(df, out, index="docs", id_col="doc_id", op_col="_change_type")
+    lines = []
+    for p in sorted(glob.glob(f"{out}/part-*")):
+        lines += [json.loads(l) for l in open(p).read().splitlines() if l]
+    deletes = [l for l in lines if "delete" in l]
+    assert len(deletes) == 1 and deletes[0]["delete"]["_id"] == "2"
+    idx = next(i for i, l in enumerate(lines) if "index" in l)
+    assert lines[idx]["index"]["_id"] == "1"
+    src = lines[idx + 1]
+    assert src == {"doc_id": 1, "txt": "keep"}  # op_col excluded from source
