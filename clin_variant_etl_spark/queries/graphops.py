@@ -34,8 +34,11 @@ input into a loud error instead of a silent wrong answer.
   on Spark; GraphX's Pregel loop does exactly this);
 - for graphs with truly giant components (not the dedup case) the
   large-star/small-star alternation (Kiveris et al., "Connected Components
-  in MapReduce and Beyond") converges in O(log n) rounds — noted as the
-  escalation path, not needed while the pair generation is cap-bounded.
+  in MapReduce and Beyond") converges in O(log n) rounds — implemented as
+  ``connected_components_star`` (same label contract, exact anti-join
+  fixed-point test); ``dedup_clusters`` keeps min-label propagation because
+  the LSH caps bound its pair-graph diameter and the per-round cost is one
+  shuffle instead of two.
 
 Reference parity: the reference has no graph operator (its dedup is
 keep-latest by key, ``normalized/SNV.scala``); this is an LLM-pipeline
@@ -171,4 +174,84 @@ def dedup_clusters(spark, sf_dir):
             F.col("cluster_size").cast("long").alias("cluster_size"),
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
+    )
+
+
+def connected_components_star(edges, nodes, id_col="doc_id", max_iters=40):
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the O(log n)-round
+    escalation path ``connected_components``' docstring promises for graphs
+    whose diameter exceeds an iteration budget.
+
+    Min-label propagation needs diameter(G) rounds (a 10^6-node path graph
+    = 10^6 shuffles); the star algorithm rewires the edge set itself each
+    round — Large-Star hangs every strictly-larger neighbor of u under
+    min(Γ(u) ∪ {u}), Small-Star hangs the smaller-or-equal ones — and
+    converges to a star forest (every node directly attached to its
+    component's minimum) in O(log n) alternations.  Each operation is one
+    groupBy(min) + one equi-join on the same key, so a round is two
+    same-key shuffles regardless of graph shape.
+
+    Exactness: the fixed point is detected with an anti-join count (new
+    edge multiset == old — no checksum shortcuts), and the returned labels
+    satisfy the same contract as ``connected_components``: cluster_id =
+    component-min vertex id, isolated nodes label themselves.
+    """
+
+    def star(e, keep_smaller: bool):
+        # neighborhoods over both directions; m(u) = min(Γ(u) ∪ {u})
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        side = (
+            (F.col("v") <= F.col("u")) if keep_smaller else (F.col("v") > F.col("u"))
+        )
+        out = (
+            nbrs.join(m, "u")
+            .where(side)
+            .select(
+                F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b")
+            )
+        )
+        if keep_smaller:
+            # small-star also re-attaches u itself to m
+            out = out.unionAll(
+                m.select(F.least("u", "m").alias("a"), F.greatest("u", "m").alias("b"))
+            )
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        stepped = star(star(e, keep_smaller=False), keep_smaller=True).localCheckpoint(
+            eager=True
+        )
+        # exact fixed-point test: both directions of the multiset diff
+        changed = (
+            stepped.exceptAll(e).limit(1).count() + e.exceptAll(stepped).limit(1).count()
+        )
+        e = stepped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "alternations — not expected for any graph of < 2^max_iters nodes"
+        )
+    # star forest: every node's component min is its direct neighbor
+    labels = (
+        e.select(F.col("b").alias("doc_id"), F.col("a").alias("label"))
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+    base = nodes.select(F.col(id_col).cast("long").alias("doc_id"))
+    return base.join(labels, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce("label", "doc_id").alias("cluster_id"),
     )

@@ -34,3 +34,65 @@ def test_convergence_guard(spark):
     # diameter 3 cannot converge in 1 iteration
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, [(1, 2), (2, 3), (3, 4)], [1, 2, 3, 4], max_iters=1)
+
+
+# ---- large-star/small-star (the O(log n) escalation path) ----
+
+
+def _dsu_oracle(n_nodes, edge_list):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component min as the label (path-compress to roots first)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def _run_star(spark, n_nodes, edge_list, **kw):
+    from clin_variant_etl_spark.queries.graphops import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_list] or [(0, 0)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    out = connected_components_star(edges, nodes)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        assert _run_star(spark, n, edges) == _dsu_oracle(n, edges)
+
+
+def test_star_cc_long_chain_where_propagation_budget_fails(spark):
+    """A 120-node path graph has diameter > MAX_ITERS: min-label propagation
+    refuses (loud error), the star algorithm converges in O(log n) rounds."""
+    from clin_variant_etl_spark.queries.graphops import connected_components
+
+    n = 120
+    chain = [(i, i + 1) for i in range(n - 1)]
+    sym = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=50)
+    got = _run_star(spark, n, chain)
+    assert set(got.values()) == {0} and len(got) == n
+
+
+def test_star_cc_isolated_nodes_and_self_loops(spark):
+    got = _run_star(spark, 6, [(0, 1), (1, 0), (2, 2)])
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4, 5: 5}
