@@ -46,7 +46,9 @@ THIS round.  Slots rotate so every query gets a driver row in some round:
       multimodal_png_decode (real COMPRESSED codec: zlib DEFLATE, chunk
       CRCs, full scanline unfiltering),
       text_segment_dedup (CCNet-style corpus boilerplate-segment removal
-      with full-reconstruction md5 oracle)
+      with full-reconstruction md5 oracle),
+      pack_assemble (materialized GPT-style packed sequences; per-pack
+      exact token-stream fingerprint oracle)
 """
 
 from __future__ import annotations

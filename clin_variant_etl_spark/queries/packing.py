@@ -125,3 +125,127 @@ def pack_chunks(spark, sf_dir):
         pack_last.alias("pack_last"),
         (pack_last - pack_first + 1).alias("n_packs"),
     )
+
+
+# =========================================================================
+# Pack ASSEMBLY — materialize the packed training rows pack_chunks only
+# addresses.  Token values are derived with a deterministic subword rule
+# shared bit-for-bit with the oracle (token = ascii(first char of the
+# 4-char chunk) * 256 + chunk length), so the reconstruction is exactly
+# checkable end-to-end.  Plan shape at 10^9 docs:
+# - offsets come from pack_chunks' distributed prefix sum (no global
+#   window);
+# - each doc explodes into one row PER PACK IT TOUCHES (≥1, ≤2 for docs
+#   shorter than MAX_LEN — fan-out ∝ corpus tokens / MAX_LEN, not docs²);
+# - assembly is ONE shuffle on pack_id with per-group state bounded by
+#   MAX_LEN tokens; the pack content is fingerprinted (md5 of the joined
+#   token stream) so result rows stay metadata-sized however long the
+#   packs are.
+# =========================================================================
+
+_ASSEMBLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_words_sql("text")} AS ws FROM documents
+), tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         flatten(list_transform(ws, w -> list_transform(
+           generate_series(0, (len(w) + 3) // 4 - 1),
+           j -> CAST(ascii(substr(w, j*4 + 1, 1)) * 256
+                     + len(substr(w, j*4 + 1, 4)) AS BIGINT)
+         ))) AS toks
+  FROM w
+), t AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM tok WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, toks, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+              AS BIGINT) AS start_off
+  FROM t
+), pieces AS (
+  SELECT c.doc_id, p.pack_id,
+         GREATEST(c.start_off, p.pack_id * {MAX_LEN}) AS a,
+         LEAST(c.start_off + c.n_tok, (p.pack_id + 1) * {MAX_LEN}) AS b,
+         c.toks[(GREATEST(c.start_off, p.pack_id * {MAX_LEN}) - c.start_off + 1)
+                : (LEAST(c.start_off + c.n_tok, (p.pack_id + 1) * {MAX_LEN}) - c.start_off)]
+           AS piece
+  FROM c, LATERAL (
+    SELECT unnest(generate_series(c.start_off // {MAX_LEN},
+                                  (c.start_off + c.n_tok - 1) // {MAX_LEN})) AS pack_id
+  ) p
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(SUM(b - a) AS BIGINT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(array_to_string(flatten(list(piece ORDER BY a)), ',')) AS tokens_md5
+FROM pieces GROUP BY pack_id
+"""
+
+
+def _subword_tokens(ws_col):
+    """array<long> of deterministic subword token ids for a words array —
+    the token-VALUE companion of ``_n_tok`` (same chunking, so sizes agree)."""
+    def word_tokens(w):
+        n_chunks = F.floor((F.length(w) + 3) / 4).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: (
+                F.ascii(w.substr(j * 4 + 1, F.lit(1))) * 256
+                + F.length(w.substr(j * 4 + 1, F.lit(4)))
+            ).cast("long"),
+        )
+
+    return F.flatten(F.transform(ws_col, word_tokens))
+
+
+@query(
+    "pack_assemble",
+    oracle=_ASSEMBLE_ORACLE,
+    survey="pack-sequences,I3,H-array,D4",
+    gate=False,  # pack family gated via pack_chunks
+)
+def pack_assemble(spark, sf_dir):
+    """Materialized GPT-style packs: concat the corpus token stream in
+    doc_id order, cut into MAX_LEN rows, fingerprint each pack's exact
+    token sequence.  Offsets reuse pack_chunks' distributed prefix sum."""
+    offs = pack_chunks(spark, sf_dir).select(
+        "doc_id", "n_tok", "start_off", "pack_first", "pack_last"
+    )
+    toks = _words_df(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _subword_tokens(F.col("ws")).alias("toks"),
+    )
+    L = F.lit(MAX_LEN)
+    pieces = (
+        offs.join(toks, "doc_id")
+        .select(
+            "doc_id", "start_off", "n_tok", "toks",
+            F.explode(F.sequence("pack_first", "pack_last")).alias("pack_id"),
+        )
+        .select(
+            "pack_id",
+            F.greatest(F.col("start_off"), F.col("pack_id") * L).alias("a"),
+            F.least(F.col("start_off") + F.col("n_tok"), (F.col("pack_id") + 1) * L).alias("b"),
+            "start_off", "toks",
+        )
+        .select(
+            "pack_id", "a",
+            (F.col("b") - F.col("a")).alias("n_piece"),
+            F.slice(
+                F.col("toks"),
+                (F.col("a") - F.col("start_off") + 1).cast("int"),
+                (F.col("b") - F.col("a")).cast("int"),
+            ).alias("piece"),
+        )
+    )
+    assembled = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("a", "piece"))), lambda x: x["piece"]
+        )
+    )
+    return pieces.groupBy("pack_id").agg(
+        F.sum("n_piece").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.md5(
+            F.array_join(F.transform(assembled, lambda t: t.cast("string")), ",")
+        ).alias("tokens_md5"),
+    ).select(F.col("pack_id").cast("long").alias("pack_id"), "n_tok", "n_docs", "tokens_md5")
