@@ -52,6 +52,14 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level bloom pushdown stays at Spark's default (off):
+        # measured at the bench contract it costs 15-25% on the hot joins
+        # (dedup_simhash 1.38->1.66 s, embed_cosine_pairs_lsh 1.34->1.66 s
+        # warm, same window A/B) because this engine's joins already shrink
+        # their probe sides explicitly (band/bucket caps, semi-joins,
+        # broadcast winners) — the injected bloom re-filters rows those
+        # shapes have already bounded.  On a cluster with genuinely
+        # unbounded probe sides enable it per-session via extra_conf.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # reference parity: map duplicate keys keep-last
