@@ -58,8 +58,11 @@ def build_session(
         # warm, same window A/B) because this engine's joins already shrink
         # their probe sides explicitly (band/bucket caps, semi-joins,
         # broadcast winners) — the injected bloom re-filters rows those
-        # shapes have already bounded.  On a cluster with genuinely
-        # unbounded probe sides enable it per-session via extra_conf.
+        # shapes have already bounded.  The CDC apply leg is a wash under it
+        # (249.5k ev/s off vs 241.2k on, same-window A/B — the LSN-guarded
+        # full-outer merge keeps both sides, so a semi-filter cannot help).
+        # On a cluster with genuinely unbounded probe sides enable it
+        # per-session via extra_conf / SPARK_GRAFT_EXTRA_CONF.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # reference parity: map duplicate keys keep-last
@@ -99,6 +102,12 @@ def build_session(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "17179869184")
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
     )
+    # deployment/bench escape hatch: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    # applies arbitrary confs without a code change (spark-submit --conf
+    # analogue for the in-process entry points); explicit extra_conf wins
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
