@@ -24,6 +24,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def parse_extra_conf(raw: str) -> dict[str, str]:
+    """Parse the ``SPARK_GRAFT_EXTRA_CONF`` env format: ``k=v;k2=v2``.
+
+    Whitespace around keys/values is stripped; empty segments (trailing
+    ``;``) are ignored; a segment without ``=`` maps the key to ``""``
+    (flag-style confs); the LAST occurrence of a repeated key wins (same
+    rule as repeated ``--conf`` on spark-submit)."""
+    out: dict[str, str] = {}
+    for pair in filter(None, (p.strip() for p in raw.split(";"))):
+        k, _, v = pair.partition("=")
+        out[k.strip()] = v.strip()
+    return out
+
+
 def build_session(
     app_name: str = "clin_variant_etl_spark",
     master: str | None = None,
@@ -104,10 +118,11 @@ def build_session(
     )
     # deployment/bench escape hatch: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
     # applies arbitrary confs without a code change (spark-submit --conf
-    # analogue for the in-process entry points); explicit extra_conf wins
-    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
-        k, _, v = pair.partition("=")
-        builder = builder.config(k.strip(), v.strip())
+    # analogue for the in-process entry points); explicit extra_conf wins.
+    # NOTE: like every conf here, only effective on the session that
+    # actually creates the JVM — getOrCreate ignores confs on reuse.
+    for k, v in parse_extra_conf(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
