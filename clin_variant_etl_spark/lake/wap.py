@@ -42,6 +42,7 @@ def audit_and_publish(
     ref: str = "published",
     snapshot_id: int | None = None,
     max_examples: int = 5,
+    reader: Callable[[int], DataFrame] | None = None,
 ) -> tuple[int, list[CheckResult]]:
     """Audit one snapshot and advance ``ref`` to it iff every check passes.
 
@@ -51,15 +52,25 @@ def audit_and_publish(
     lists every broken invariant with example rows and the ref is NOT
     moved.  Returns (published snapshot id, per-check results).
 
-    The candidate defaults to the table's current snapshot, resolved ONCE
-    up front: commits racing the audit cannot change what gets published.
+    The candidate defaults to the RAW snapshot frame
+    (``table.read(spark, snapshot_id=sid)``).  On a mor CDC table that
+    frame contains unresolved base+delta versions, tombstoned rows, and
+    internal columns — visible-state invariants (e.g. no-duplicate-keys)
+    would spuriously fail.  For those, pass ``reader``: a callable
+    ``snapshot_id -> DataFrame`` producing the VISIBLE state pinned to the
+    candidate (e.g. ``lambda sid: pipe.read_state(snapshot_id=sid)`` with a
+    CdcPipeline-resolved read); the audit then runs on what consumers of
+    the ref will actually see.
+
+    The candidate snapshot id is resolved ONCE up front: commits racing
+    the audit cannot change what gets published.
     """
     sid = (
         snapshot_id
         if snapshot_id is not None
         else table.current_snapshot().snapshot_id
     )
-    candidate = table.read(spark, snapshot_id=sid)
+    candidate = reader(sid) if reader is not None else table.read(spark, snapshot_id=sid)
     results = run_checks(
         {name: (lambda mk=mk: mk(candidate)) for name, mk in checks.items()},
         max_examples=max_examples,

@@ -74,7 +74,8 @@ def cap_buckets_fused(
     (its left-semi join never matches a null key; a window would instead
     group all nulls into one kept partition).
     """
-    assert "_bucket_n" not in df.columns, "_bucket_n is reserved by cap_buckets_fused"
+    if "_bucket_n" in df.columns:  # not assert: must survive python -O
+        raise ValueError("_bucket_n is reserved by cap_buckets_fused")
     for k in keys:
         df = df.where(F.col(k).isNotNull())
     w = Window.partitionBy(*keys)

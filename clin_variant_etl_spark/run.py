@@ -57,21 +57,34 @@ def _discover_event_schema(spark, events_dir: str):
     the cached discovery (Auto Loader's schemaLocation) — at this repo's
     deployment scale the one-shot scan is the simpler correct posture.
     """
+    # The glob emptiness shortcut only works for plain local paths; a
+    # URI-style dir (file:///, hdfs://, s3a://) finds no files and would
+    # silently pin v1 — the exact column loss this mode must surface.  For
+    # those, attempt the read and fall back ONLY on the explicit
+    # empty/missing-path failure Spark raises for a schema-less dir.
     import glob
+    import re
 
-    has_files = any(
-        f
-        for f in glob.iglob(os.path.join(events_dir, "**"), recursive=True)
-        if f.endswith(".parquet")
-    )
-    if not has_files:
-        return CHANGE_EVENTS_SCHEMA
-    return (
-        spark.read.option("mergeSchema", "true")
-        .option("recursiveFileLookup", "true")
-        .parquet(events_dir)
-        .schema
-    )
+    if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", events_dir):
+        has_files = any(
+            f
+            for f in glob.iglob(os.path.join(events_dir, "**"), recursive=True)
+            if f.endswith(".parquet")
+        )
+        if not has_files:
+            return CHANGE_EVENTS_SCHEMA
+    try:
+        return (
+            spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(events_dir)
+            .schema
+        )
+    except Exception as e:  # AnalysisException hierarchy varies by version
+        msg = str(e)
+        if "Unable to infer schema" in msg or "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return CHANGE_EVENTS_SCHEMA
+        raise
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -193,7 +206,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "lookup":
         import json
 
-        pipe = CdcPipeline(spark, args.table, key_col=args.key_col)
+        # Like maintain mode, the lookup key is the table's OWN bucketing
+        # column: resolving keep-max-LSN on a CLI-default key would silently
+        # return wrong/missing rows.  Error (not override) on a mismatch the
+        # caller typed explicitly.
+        spec = LakeTable(args.table).partition_spec
+        key = spec[0].source_col if spec else args.key_col
+        if spec and args.key_col != p.get_default("key_col") and args.key_col != key:
+            p.error(
+                f"--key-col {args.key_col!r} disagrees with the table's bucket "
+                f"spec key {key!r}; lookup always uses the table's own key"
+            )
+        pipe = CdcPipeline(spark, args.table, key_col=key)
         rows = pipe.lookup([k for k in args.keys.split(",") if k]).collect()
         for r in rows:
             print(json.dumps(r.asDict(recursive=True), default=str))

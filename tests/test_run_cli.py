@@ -160,3 +160,13 @@ def test_drain_with_key_blooms_then_lookup_mode(spark, cli_env, capsys):
 def test_lookup_mode_requires_keys(cli_env):
     with pytest.raises(SystemExit):
         main(["--mode", "lookup", "--table", cli_env["table"]])
+
+
+def test_lookup_mode_rejects_mismatched_key_col(cli_env):
+    """The lookup key is the table's OWN bucket-spec key; an explicitly
+    mismatched --key-col must error (exit 2), never silently resolve
+    keep-max-LSN on the wrong column."""
+    with pytest.raises(SystemExit) as ei:
+        main(["--mode", "lookup", "--table", cli_env["table"],
+              "--keys", "whatever", "--key-col", "source"])
+    assert ei.value.code == 2

@@ -82,3 +82,43 @@ def test_expiry_never_drops_the_published_snapshot(spark, tmp_path):
     assert good_sid not in expired
     # published readers still resolve and read their snapshot
     assert sorted(r["k"] for r in t.read(spark, ref="published").collect()) == [1]
+
+
+def test_mor_audit_runs_on_visible_state_via_reader(spark, tmp_path):
+    """On a mor CDC table the raw snapshot frame holds unresolved base+delta
+    versions, so a no-duplicate-keys audit spuriously fails; passing
+    ``reader`` (a CdcPipeline-resolved read pinned to the candidate) audits
+    the visible state consumers of the ref will actually see."""
+    from clin_variant_etl_spark.engine import CdcPipeline, create_cdc_table
+    from clin_variant_etl_spark.qc import should_not_contain_duplicates
+    from clin_variant_etl_spark.schemas import BASE_DOCS_SCHEMA
+    from clin_variant_etl_spark.testgen import (
+        EventGenConfig,
+        generate_change_events,
+        write_events_by_epoch,
+    )
+    import os
+
+    root = str(tmp_path / "events")
+    tbl = generate_change_events(
+        EventGenConfig(n_docs=30, n_events=400, n_epochs=2, seed=5)
+    )
+    write_events_by_epoch(tbl, root)
+    create_cdc_table(str(tmp_path / "t"), BASE_DOCS_SCHEMA, n_buckets=2)
+    pipe = CdcPipeline(spark, str(tmp_path / "t"), apply_mode="mor")
+    for ep in range(2):
+        pipe.apply_epoch(spark.read.parquet(os.path.join(root, f"epoch={ep}")), ep)
+
+    t = pipe.table
+    checks = {"no_dup_keys": lambda df: should_not_contain_duplicates(df, "doc_id")}
+    # precondition: the raw frame genuinely holds multiple versions per key
+    raw = t.read(spark)
+    assert raw.count() > pipe.read_state().count()
+    with pytest.raises(QCError, match="no_dup_keys"):
+        audit_and_publish(spark, t, checks)
+
+    sid, results = audit_and_publish(
+        spark, t, checks, reader=lambda s: pipe.read_state(snapshot_id=s)
+    )
+    assert all(r.passed for r in results)
+    assert t.resolve_ref("published") == sid
