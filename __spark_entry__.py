@@ -14,7 +14,34 @@ are ``gate=False``: still benchable and hash-verified under the identical
 compare contract by tests/test_oracle_parity.py, just without a driver row
 THIS round.  Slots rotate so every query gets a driver row in some round:
 
-  round 4 state (this file is the authoritative rotation record):
+  round 5 state (this file is the authoritative rotation record):
+  - rotated IN for r5 — the entire never-driver-checked backlog with an
+    exact oracle (18 queries, each one's first driver row):
+      multimodal_png_decode, multimodal_bmp_decode, pack_assemble,
+      text_segment_dedup, ann_ivf_topk, tfidf_top_terms,
+      doc_length_quantiles, rollup_customers_by_nation_segment,
+      pivot_user_event_counts, running_user_spend, stratified_hash_sample,
+      scan_vcf_info, top_tokens_per_lang, text_repetition_stats,
+      sliding_hourly_activity, brands_both_expensive_and_large,
+      embed_quantize_int8, train_holdout_split
+    After this round every registered query with an oracle has had at
+    least one driver CORRECTNESS row; the only never-gated query is
+    approx_distinct_users_by_type (rows-only BY DESIGN — a sketch; its
+    ≤5% error bound is pinned at two scales by tests/test_sketches.py).
+  - rotated OUT for r5 (driver rows green in ALL of r1-r4; every survey
+    code still covered by a gated sibling — verified by
+    tests/test_gate_rotation.py):
+      q1_pricing_summary, q5_nation_revenue, ship_latency_histogram,
+      interval_overlap_best, cdc_latest_state, cdc_latest_by_lsn_salted,
+      cdc_net_state_ops, cdc_out_of_order, cdc_duplicate_invariant,
+      session_stats_per_user, tumbling_hourly_activity, part_type_tokens,
+      embedding_array_stats, scan_csv_options, brands_expensive_not_cheap,
+      ann_topk_bruteforce, embed_cosine_pairs_lsh, multimodal_decode_features
+    (All remain benched in bench.py and exact-parity-tested in the suite;
+    the CDC-engine semantics stay driver-gated through
+    cdc_engine_full_replay / cdc_engine_mor_replay / scd1 / upsert.)
+
+  round 4 state (historical):
   - gated since r4 (never driver-checked in r1-r3):
       multimodal_wav_decode, multimodal_frame_sample, pack_chunks,
       decontaminate_benchmark, cdc_engine_mor_replay (new in r4)

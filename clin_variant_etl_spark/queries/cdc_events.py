@@ -36,6 +36,7 @@ QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
 """,
     survey="E1,J4,E5",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def cdc_latest_state(spark, sf_dir):
     e = load(spark, sf_dir, "events")
@@ -68,6 +69,7 @@ FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
 """,
     survey="E1,J4,F1",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def cdc_latest_by_lsn_salted(spark, sf_dir):
     from ..engine.dedup import latest_by_key_salted
@@ -100,6 +102,7 @@ FROM latest
 GROUP BY 1
 """,
     survey="E1,J4,D2,B4",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def cdc_net_state_ops(spark, sf_dir):
     e = load(spark, sf_dir, "events")
@@ -129,6 +132,7 @@ GROUP BY 1, 2
 HAVING COUNT(*) > 1
 """,
     survey="D9,D8",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def cdc_duplicate_invariant(spark, sf_dir):
     e = load(spark, sf_dir, "events")
@@ -186,6 +190,7 @@ FROM flagged
 GROUP BY 1
 """,
     survey="J6,E1,D2",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def cdc_out_of_order(spark, sf_dir):
     e = load(spark, sf_dir, "events")
@@ -215,6 +220,7 @@ FROM events
 GROUP BY 1, 2
 """,
     survey="J-window,D1,D8",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def tumbling_hourly_activity(spark, sf_dir):
     e = load(spark, sf_dir, "events")
@@ -264,6 +270,7 @@ FROM per_session
 GROUP BY 1
 """,
     survey="E1,J-window,D1",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def session_stats_per_user(spark, sf_dir):
     e = load(spark, sf_dir, "events")
@@ -316,8 +323,7 @@ FROM assigned
 GROUP BY 1, 2
 """,
     survey="J-window,D1,D8,H-date",
-    # suite-only: J-window gated via tumbling_hourly_activity + session_stats
-    gate=False,
+    # gated since r5 (rotation: first driver row this round)
 )
 def sliding_hourly_activity(spark, sf_dir):
     e = load(spark, sf_dir, "events")
@@ -366,8 +372,7 @@ FROM events
 WHERE event_type = 'purchase'
 """,
     survey="E-frame,H-date,D1",
-    # suite-only: window family gated via session_stats / tumbling / top2
-    gate=False,
+    # gated since r5 (rotation: first driver row this round)
 )
 def running_user_spend(spark, sf_dir):
     e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")

@@ -574,7 +574,6 @@ FROM customer
 GROUP BY ROLLUP (c_nationkey, c_mktsegment)
 """,
     survey="D-rollup,D1,H-math",
-    gate=False,
 )
 def rollup_customers_by_nation_segment(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
@@ -620,7 +619,6 @@ FROM events
 GROUP BY user_id
 """,
     survey="D-pivot,D1,D2",
-    gate=False,
 )
 def pivot_user_event_counts(spark, sf_dir):
     e = load(spark, sf_dir, "events")

@@ -109,6 +109,7 @@ def _binned(df, start_col: str, end_col: str):
     "interval_overlap_best",
     oracle=_OVERLAP_ORACLE,
     survey="C9,C10,E2,H-math",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def interval_overlap_best(spark, sf_dir):
     a = _binned(_a_df(spark, sf_dir), "a_start", "a_end").alias("a")

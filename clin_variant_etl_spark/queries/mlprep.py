@@ -43,7 +43,7 @@ FROM q
 """
 
 
-@query("embed_quantize_int8", oracle=_Q_ORACLE, survey="sim-cosine-dup,H-array,B7", gate=False)
+@query("embed_quantize_int8", oracle=_Q_ORACLE, survey="sim-cosine-dup,H-array,B7")
 def embed_quantize_int8(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -83,7 +83,7 @@ GROUP BY split
 """
 
 
-@query("train_holdout_split", oracle=_SPLIT_ORACLE, survey="D1,B4,H-string", gate=False)
+@query("train_holdout_split", oracle=_SPLIT_ORACLE, survey="D1,B4,H-string")
 def train_holdout_split(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     split = F.when(
@@ -131,7 +131,6 @@ FROM ranked WHERE rnk <= {SAMPLE_K}
     "stratified_hash_sample",
     oracle=_SAMPLE_ORACLE,
     survey="sample-stratified,D6,E4,H-string",
-    gate=False,
 )
 def stratified_hash_sample(spark, sf_dir):
     """k=20 docs per language by md5(doc_id) rank — deterministic

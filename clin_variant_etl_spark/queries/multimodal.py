@@ -58,6 +58,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """,
     survey="multimodal-decode,I2,I3,A10",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def multimodal_decode_features(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
@@ -261,7 +262,6 @@ FROM documents
 WHERE length(text) >= 1
 """,
     survey="A10,I2,I3,multimodal-decode",
-    gate=False,  # A10 gated via multimodal_decode_features / wav_decode
 )
 def multimodal_bmp_decode(spark, sf_dir):
     """REAL image codec decode through the A10 plumbing — no stub.
@@ -372,7 +372,6 @@ FROM documents
 WHERE length(text) >= 1
 """,
     survey="A10,I2,I3,multimodal-decode",
-    gate=False,  # A10 gated via multimodal_decode_features / wav_decode
 )
 def multimodal_png_decode(spark, sf_dir):
     """REAL *compressed* image codec through the A10 plumbing.

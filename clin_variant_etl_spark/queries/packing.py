@@ -201,7 +201,6 @@ def _subword_tokens(ws_col):
     "pack_assemble",
     oracle=_ASSEMBLE_ORACLE,
     survey="pack-sequences,I3,H-array,D4",
-    gate=False,  # pack family gated via pack_chunks
 )
 def pack_assemble(spark, sf_dir):
     """Materialized GPT-style packs: concat the corpus token stream in

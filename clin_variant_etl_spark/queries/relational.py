@@ -49,6 +49,7 @@ WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
     survey="D1,D2,B2,B7,H-math",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def q1_pricing_summary(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem").where(
@@ -140,6 +141,7 @@ JOIN region r   ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2
 """,
     survey="C4,C10,D1,C1",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def q5_nation_revenue(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
@@ -412,6 +414,7 @@ FROM part
 GROUP BY 1
 """,
     survey="H-string,D8,B1",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def part_type_tokens(spark, sf_dir):
     p = load(spark, sf_dir, "part")
@@ -467,6 +470,7 @@ EXCEPT
 SELECT p_brand AS brand FROM part WHERE p_retailprice < 500
 """,
     survey="G3,G1,B2",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def brands_expensive_not_cheap(spark, sf_dir):
     p = load(spark, sf_dir, "part")
@@ -531,6 +535,7 @@ JOIN orders o
 GROUP BY 1, 2
 """,
     survey="C9,C10,H-date,D1",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def ship_latency_histogram(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
@@ -616,6 +621,7 @@ FROM e
 WHERE vec_id < 100
 """,
     survey="H-array,I3,B7",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def embedding_array_stats(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
@@ -676,7 +682,6 @@ INTERSECT
 SELECT p_brand AS brand FROM part WHERE p_size >= 40
 """,
     survey="G-intersect,G3,B2",
-    gate=False,
 )
 def brands_both_expensive_and_large(spark, sf_dir):
     p = load(spark, sf_dir, "part")

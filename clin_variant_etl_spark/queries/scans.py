@@ -61,7 +61,9 @@ WHERE id % 2 = 0
 """
 
 
-@query("scan_csv_options", oracle=_CSV_ORACLE, survey="A3,B7,H-math")
+@query("scan_csv_options", oracle=_CSV_ORACLE, survey="A3,B7,H-math",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
+)
 def scan_csv_options(spark, sf_dir):
     """CSV scan with reader options (pipe separator + header) and a pinned
     schema; money rendered as exact integer cents."""
@@ -86,7 +88,7 @@ WHERE filt = 'PASS' AND CAST(regexp_extract(info, 'DP=([0-9]+)', 1) AS BIGINT) >
 """
 
 
-@query("scan_vcf_info", oracle=_VCF_ORACLE, survey="A1,A3,B2,B7,H-map", gate=False)
+@query("scan_vcf_info", oracle=_VCF_ORACLE, survey="A1,A3,B2,B7,H-map")
 def scan_vcf_info(spark, sf_dir):
     """VCF scan (SURVEY §2 A1): ##-preamble skipped via the comment option,
     pinned 8-column schema, semicolon INFO parsed to a map and extracted to

@@ -135,6 +135,7 @@ FROM scored
 QUALIFY rk <= {TOP_K}
 """,
     survey="sim-ann-topk,C1,E2,D6",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def ann_topk_bruteforce(spark, sf_dir):
     dot = _dot_pandas_udf()
@@ -352,6 +353,7 @@ def _band_buckets_pandas_udf():
     "embed_cosine_pairs_lsh",
     oracle=_banded_lsh_oracle(),
     survey="sim-cosine-dup,sim-ann-lsh,C2,I3",
+    gate=False,  # rotated out r5: driver rows green r1-r4; codes stay gate-covered
 )
 def embed_cosine_pairs_lsh(spark, sf_dir):
     dot = _dot_pandas_udf()
@@ -467,9 +469,7 @@ QUALIFY rk <= {TOP_K}
     "ann_ivf_topk",
     oracle=_ivf_oracle(),
     survey="sim-ann-topk,sim-ann-lsh,C1,D6,E2,I3",
-    # suite-only: the driver registry is pinned at 50 (registry.py); the
-    # identical exact-match contract runs in tests/test_oracle_parity.py
-    gate=False,
+    # gated since r5 (rotation: first driver row this round)
 )
 def ann_ivf_topk(spark, sf_dir):
     dot = _dot_pandas_udf()

@@ -58,9 +58,7 @@ FROM ranked WHERE rnk <= {TOP_K_TOKENS}
     "top_tokens_per_lang",
     oracle=_HEAVY_ORACLE,
     survey="text-heavy-hitters,D1,E4,H-array",
-    # suite-only: driver gate pinned at 50; survey codes evidenced by gated
-    # siblings (top2_orders_per_customer, text_quality_stats)
-    gate=False,
+    # gated since r5 (rotation: first driver row this round)
 )
 def top_tokens_per_lang(spark, sf_dir):
     """Heavy hitters: top-5 tokens per language by exact count, total-ordered
@@ -108,7 +106,6 @@ FROM ranked WHERE rnk <= {TOP_K_TERMS}
     "tfidf_top_terms",
     oracle=_TFIDF_ORACLE,
     survey="text-tfidf,D1,C2,E4",
-    gate=False,
 )
 def tfidf_top_terms(spark, sf_dir):
     """Keyword extraction: top-3 terms per document by tf * N / df (an
@@ -185,7 +182,6 @@ GROUP BY lang
     "doc_length_quantiles",
     oracle=_QUANTILE_ORACLE,
     survey="quantiles-exact,D1,E4,H-math",
-    gate=False,
 )
 def doc_length_quantiles(spark, sf_dir):
     """Exact p25/p50/p75 of n_chars per language — rank-interpolation
