@@ -203,11 +203,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     stage reuses the join's partitioning (no extra shuffle after the join).
     """
     w = _words_df(spark, sf_dir)
-    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
-    # branches recompute the shingling — deliberately NOT persisted:
-    # shingling over the cached words is ~1s at sf0.1 while caching the
-    # exploded frame costs ~25s (InMemoryRelation breaks whole-stage codegen
-    # and concurrent branches race the cache fill, materializing it twice)
+    # the slim (doc_id, s) frame feeds THREE consumers (sizes, the DF count,
+    # the semi-join + collect); localCheckpoint it ONCE so each reads the
+    # materialized blocks instead of re-running the shingle explode — the
+    # minhash treatment (see the band-frame note below: localCheckpoint, not
+    # persist, because InMemoryRelation breaks whole-stage codegen and
+    # concurrent branches race the cache fill)
+    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s")).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     kept_shingles = (
         sh.groupBy("s")
