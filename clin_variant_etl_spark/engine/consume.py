@@ -55,13 +55,28 @@ class CdfConsumer:
         self,
         handler: Callable[[DataFrame], None],
         on_expired_cursor: str = "resync",
+        require_materialized: bool = False,
     ) -> dict:
         """One drain cycle: feed = read_changes(cursor → current head), call
         ``handler(feed)``, then advance the cursor.  Returns a summary dict.
 
         The handler runs BEFORE the cursor advance (at-least-once); it
-        receives the DataFrame lazily — if it never triggers an action the
-        batch is still considered handled, matching foreachBatch semantics.
+        receives the DataFrame lazily.  **Handlers MUST trigger their action
+        (write/collect/count) before returning** — the cursor advances when
+        ``handler`` returns, so work deferred past that point is marked
+        handled without having run, and a failure in the deferred plan
+        would surface AFTER the batch was already considered delivered.
+        This matches foreachBatch semantics (the epoch commits when the
+        function returns), but unlike foreachBatch nothing downstream
+        forces the plan — hence the guard below.
+
+        ``require_materialized=True`` hardens the contract: after the
+        handler returns, the consumer itself executes the feed's plan (a
+        count) before advancing, so a plan-level failure (expired file,
+        schema error, bad UDF) aborts the drain and the batch is
+        redelivered instead of silently skipped.  It costs one extra scan
+        of the batch diff and still cannot verify the handler's external
+        side effects — idempotent handlers remain the real contract.
         A no-op head (cursor already at head) skips the handler entirely.
 
         ``on_expired_cursor``: if ``expire_snapshots`` has deleted the
@@ -87,8 +102,10 @@ class CdfConsumer:
             return {"from": start, "to": head, "handled": False}
         feed = self.pipeline.read_changes(from_snapshot_id=start, to_snapshot_id=head)
         handler(feed)
-        self._advance(head)
         out = {"from": start, "to": head, "handled": True}
+        if require_materialized:
+            out["rows"] = feed.count()  # plan failure ⇒ no advance, redeliver
+        self._advance(head)
         if resynced:
             out["resynced"] = True
         return out

@@ -103,3 +103,42 @@ def test_consumer_expired_cursor_resync(spark, tmp_path):
     assert seen == _last_versions(tbl.to_pandas())
     # next drain is a normal incremental no-op
     assert not consumer.drain(lambda f: f.count())["handled"]
+
+
+def test_consumer_require_materialized_guards_lazy_handler(spark, tmp_path):
+    """A handler that defers its action past drain() would mark the batch
+    handled without the feed's plan ever running; require_materialized=True
+    executes the plan (one count) before the cursor advances, so a
+    plan-level failure — here a data file missing under the feed — aborts
+    the drain, the cursor stays put, and the batch is REDELIVERED."""
+    import os
+    import shutil
+
+    cfg = EventGenConfig(n_docs=40, n_events=300, n_epochs=2, seed=31)
+    tbl = generate_change_events(cfg)
+    src = str(tmp_path / "events")
+    write_events_by_epoch(tbl, src)
+    create_cdc_table(str(tmp_path / "docs"), BASE_DOCS_SCHEMA, n_buckets=2)
+    pipe = CdcPipeline(spark, str(tmp_path / "docs"))
+    consumer = CdfConsumer(pipe, str(tmp_path / "cursor.json"))
+    pipe.apply_epoch(spark.read.parquet(f"{src}/epoch=0"), epoch_id=0)
+
+    # break the feed's plan at EXECUTION time: hide a committed data file
+    snap = pipe.table.current_snapshot()
+    victim = os.path.join(pipe.table.path, snap.files[0]["path"])
+    shutil.move(victim, victim + ".hidden")
+    lazy = lambda f: None  # defers everything — the footgun
+    with pytest.raises(Exception):
+        consumer.drain(lazy, require_materialized=True)
+    assert consumer.cursor() is None  # not advanced: batch will redeliver
+
+    # restore; the SAME batch redelivers and the guard reports its rows
+    shutil.move(victim + ".hidden", victim)
+    s = consumer.drain(lazy, require_materialized=True)
+    assert s["handled"] and s["rows"] > 0
+    assert consumer.cursor() == s["to"]
+    # foreachBatch-matching default is unchanged: lazy handler, no guard
+    pipe.apply_epoch(spark.read.parquet(f"{src}/epoch=1"), epoch_id=1)
+    s2 = consumer.drain(lazy)
+    assert s2["handled"] and "rows" not in s2
+    assert consumer.cursor() == s2["to"]
