@@ -156,6 +156,22 @@ def main(argv: list[str] | None = None) -> int:
         "(enables lookup-mode file skipping; costs one narrow key-column "
         "re-read per written file at commit time)",
     )
+    # drain/tail mor knobs: the in-loop auto-fold (maintenance.fold_candidates
+    # policy, manifest-only check per micro-batch) is ON by default so an
+    # untended mor table's reads stay flat; --mode maintain remains the
+    # out-of-band unconditional fold for deployments that opt out here
+    p.add_argument(
+        "--no-auto-fold",
+        action="store_true",
+        help="(mor drain/tail) disable the per-batch delta:base ratio fold",
+    )
+    p.add_argument(
+        "--fold-ratio",
+        type=float,
+        default=0.25,
+        help="(mor drain/tail) fold a bucket when delta:base file ratio "
+        "reaches this (see maintenance.fold_candidates for the full policy)",
+    )
     # lookup-mode knobs (--mode lookup)
     p.add_argument("--keys", default=None, help="comma-separated keys to look up")
     args = p.parse_args(argv)
@@ -241,6 +257,26 @@ def main(argv: list[str] | None = None) -> int:
         "v2": CHANGE_EVENTS_V2_SCHEMA,
         "auto": None,
     }[args.event_schema] or _discover_event_schema(spark, args.events_dir)
+    after_batch = None
+    if args.apply_mode == "mor" and not args.no_auto_fold:
+        from .lake.maintenance import auto_fold
+        from .schemas import INTERNAL_LAST_LSN
+
+        # fold key = the table's OWN bucketing column (same rule as
+        # maintain/lookup); idempotent under foreachBatch redelivery —
+        # see StreamingCdc.after_batch crash contract
+        spec = pipe.table.partition_spec
+        fold_key = spec[0].source_col if spec else args.key_col
+
+        def after_batch(pipeline, epoch_id, res):
+            auto_fold(
+                spark,
+                pipeline.table,
+                (fold_key, INTERNAL_LAST_LSN),
+                max_delta_ratio=args.fold_ratio,
+                target_file_bytes=args.target_file_bytes,
+            )
+
     stream = StreamingCdc(
         spark,
         pipe,
@@ -248,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
         event_schema=schema,
         checkpoint_dir=args.stream_checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
+        after_batch=after_batch,
     )
     if args.mode == "drain":
         stream.run_available()

@@ -44,13 +44,25 @@ class StreamingCdc:
         checkpoint_dir: str = "",
         max_files_per_trigger: int | None = None,
         source=None,
+        after_batch=None,
     ):
         """``source`` (optional): callable ``spark -> streaming DataFrame``
         replacing the default file-log reader — a Kafka/binlog adapter plugs
         in here and NOTHING downstream changes (epoch gate, LSN resolution,
         checkpoint pairing are all source-agnostic; pinned by
         tests/test_mock_source.py against a non-file at-least-once,
-        out-of-order source)."""
+        out-of-order source).
+
+        ``after_batch`` (optional): callable ``(pipeline, epoch_id,
+        ApplyResult) -> None`` run inside foreachBatch AFTER the epoch's
+        table commit — the composition point for per-epoch maintenance
+        (``lake.maintenance.auto_fold``) and derived-state refresh
+        (``engine.matview``).  Crash contract: a failure here fails the
+        micro-batch BEFORE the streaming checkpoint advances, so the batch
+        redelivers; the epoch gate skips the (already-committed) apply and
+        the hook re-runs — hooks must therefore be idempotent, which both
+        shipped hooks are (a fold re-selects nothing; a matview refresh is
+        cursor-gated)."""
         self.spark = spark
         self.pipeline = pipeline
         self.events_dir = events_dir
@@ -58,6 +70,7 @@ class StreamingCdc:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.source = source
+        self.after_batch = after_batch
         if source is None and (events_dir is None or event_schema is None):
             raise ValueError("pass either source= or events_dir+event_schema")
 
@@ -90,11 +103,16 @@ class StreamingCdc:
                 "replay into a fresh table."
             )
 
+    def _apply_batch(self, df, epoch_id):
+        res = self.pipeline.apply_epoch(df, epoch_id)
+        if self.after_batch is not None:
+            self.after_batch(self.pipeline, epoch_id, res)
+
     def _start(self, trigger_kwargs: dict):
         self._guard_checkpoint_pairing()
         return (
             self._reader()
-            .writeStream.foreachBatch(lambda df, epoch_id: self.pipeline.apply_epoch(df, epoch_id))
+            .writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(**trigger_kwargs)
             .start()
