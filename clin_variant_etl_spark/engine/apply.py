@@ -147,6 +147,19 @@ class ApplyResult:
     dedup_variant_used: str | None = None  # "join" | "salted" (auto reports its pick)
 
 
+def _coerce_probe_values(field: T.StructField, values: list) -> list:
+    """Coerce probe values to the column's Python type (CLI callers pass
+    strings) so bucket hashes, bloom probes (built on str(typed value)),
+    and pushed ``isin`` predicates all compare typed-equal."""
+    if isinstance(field.dataType, T.StringType):
+        return [str(v) for v in values]
+    if isinstance(field.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return [int(v) for v in values]
+    if isinstance(field.dataType, (T.DoubleType, T.FloatType)):
+        return [float(v) for v in values]
+    return values
+
+
 class CdcPipeline:
     """One CDC target table + its lineage/checkpoint side tables."""
 
@@ -164,6 +177,7 @@ class CdcPipeline:
         apply_mode: str = "cow",
         broadcast_max_rows: int | None = 4_000_000,
         key_blooms: bool = False,
+        bloom_cols: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.table = LakeTable(table_path)
@@ -193,6 +207,10 @@ class CdcPipeline:
         # bloom build re-reads the key column of each written file at commit
         # time — tables that are only ever scanned whole shouldn't pay it.
         self.key_blooms = key_blooms
+        # bloom_cols: ADDITIONAL (payload) columns bloomed per file, enabling
+        # lookup_by()'s secondary-column file skipping.  Same cost model as
+        # key_blooms (one narrow re-read per written file per column).
+        self.bloom_cols = tuple(bloom_cols)
         # auto-variant probe short-circuit: last applied epoch's net-change
         # count (in-process; a restarted driver simply re-probes once)
         self._net_estimate: int | None = None
@@ -291,12 +309,7 @@ class CdcPipeline:
         # coerce probe values to the key column's Python type (CLI callers
         # pass strings) so the bucket hash, the bloom probe (built on
         # str(typed value)), and the pushed isin all compare typed-equal
-        if isinstance(field.dataType, T.StringType):
-            keys = [str(k) for k in keys]
-        elif isinstance(field.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-            keys = [int(k) for k in keys]
-        elif isinstance(field.dataType, (T.DoubleType, T.FloatType)):
-            keys = [float(k) for k in keys]
+        keys = _coerce_probe_values(field, keys)
         pf = None
         spec = snap.partition_spec
         if (
@@ -318,6 +331,56 @@ class CdcPipeline:
         )
         df = df.where(~F.coalesce(F.col(INTERNAL_DELETED), F.lit(False)))
         return df.drop(INTERNAL_LAST_LSN, INTERNAL_DELETED)
+
+    def lookup_by(self, col: str, values, snapshot_id: int | None = None) -> DataFrame:
+        """Secondary-column point lookup: visible-state rows whose ``col``
+        (a payload column, bloomed via ``bloom_cols=…``) currently holds one
+        of ``values`` — opening only files that can be involved.
+
+        Two bloom-pruned passes, both required for exactness:
+
+        1. CANDIDATE KEYS — scan only files whose ``col`` bloom may contain
+           a sought value (``read(key_filter=…)``) and collect the distinct
+           keys of matching rows.  A payload predicate alone cannot feed
+           the mor resolve: it drops other VERSIONS of a key, so the
+           keep-max-LSN winner could be computed from a partial version set
+           (the ``_read_resolved`` contract).
+        2. KEY LOOKUP — ``lookup(candidate_keys)`` (bucket + key-bloom
+           pruned) resolves each candidate's full version set, then the
+           payload predicate is re-applied POST-resolve, which keeps
+           exactly the keys whose LATEST version matches.
+
+        The candidate key set is collected to the driver — this is a POINT
+        lookup API (same contract as ``lookup``): values that select large
+        row fractions should use ``read_state().where(...)`` instead.
+        Without blooms on ``col`` the result is identical, just unpruned
+        (conservative read contract).
+        """
+        values = list(values)
+        snap = (
+            self.table.snapshot(snapshot_id)
+            if snapshot_id
+            else self.table.current_snapshot()
+        )
+        field = next((f for f in snap.schema.fields if f.name == col), None)
+        if field is None:
+            raise ValueError(
+                f"lookup_by: column {col!r} not in table schema "
+                f"({[f.name for f in snap.schema.fields]})"
+            )
+        if not values:
+            return self.read_state(snapshot_id).limit(0)
+        values = _coerce_probe_values(field, values)
+        cand = (
+            self.table.read(self.spark, snapshot_id=snapshot_id, key_filter={col: values})
+            .where(F.col(col).isin(values))
+            .select(self.key_col)
+            .distinct()
+        )
+        keys = [r[0] for r in cand.collect()]
+        if not keys:
+            return self.read_state(snapshot_id).limit(0)
+        return self.lookup(keys, snapshot_id=snapshot_id).where(F.col(col).isin(values))
 
     def _read_resolved(
         self,
@@ -797,7 +860,7 @@ class CdcPipeline:
                 # per-file lsn coverage from footers — rides the write the
                 # merge does anyway (executor-side above the file threshold)
                 stats_cols=(INTERNAL_LAST_LSN,) if self.collect_part_stats else (),
-                bloom_cols=(self.key_col,) if self.key_blooms else (),
+                bloom_cols=((self.key_col,) if self.key_blooms else ()) + self.bloom_cols,
                 aligned=aligned,
             )
             if self.apply_mode == "mor":

@@ -197,3 +197,75 @@ def test_bloom_cap_skips_large_files_and_warns(spark, tmp_path):
             df.coalesce(1), 0, t.partition_spec, bloom_cols=("doc_id",)
         )
     assert files and all(not e.get("blooms") for e in files)
+
+
+@pytest.fixture(scope="module")
+def payload_bloom_pipe(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pbloom")
+    cfg = EventGenConfig(n_docs=120, n_events=1200, n_epochs=4, seed=11)
+    tbl = generate_change_events(cfg)
+    write_events_by_epoch(tbl, str(tmp / "events"))
+    create_cdc_table(str(tmp / "docs"), BASE_DOCS_SCHEMA, n_buckets=4)
+    pipe = CdcPipeline(
+        spark, str(tmp / "docs"), apply_mode="mor",
+        key_blooms=True, bloom_cols=("n_tok",),
+    )
+    for ep in range(4):
+        pipe.apply_epoch(spark.read.parquet(f"{tmp}/events/epoch={ep}"), epoch_id=ep)
+    return pipe
+
+
+def test_lookup_by_matches_filtered_state_and_skips_files(spark, payload_bloom_pipe):
+    """Secondary-column lookup (bloom_cols payload blooms): exact vs the
+    post-resolve filtered read_state, and the candidate scan opens strictly
+    fewer files than the full scan — the file-skip measurement on a NON-KEY
+    column (VERDICT r4 task #10 'done' bar)."""
+    pipe = payload_bloom_pipe
+    state = pipe.read_state()
+    # pick a sparse value: the rarest live n_tok
+    counts = state.groupBy("n_tok").count().orderBy("count", "n_tok").limit(1).collect()
+    val = counts[0]["n_tok"]
+
+    got = pipe.lookup_by("n_tok", [val]).toPandas().sort_values("doc_id")
+    want = state.where(F.col("n_tok") == val).toPandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_tok"]) == list(want["n_tok"])
+
+    # every committed file carries BOTH blooms
+    snap = pipe.table.current_snapshot()
+    assert all(
+        {"doc_id", "n_tok"} <= set(e.get("blooms") or {}) for e in snap.files
+    )
+    # the file-skip measurement: the candidate pass's pruned scan
+    cand = pipe.table.read(spark, key_filter={"n_tok": [int(val)]})
+    assert set(cand.inputFiles()) < set(pipe.table.read(spark).inputFiles())
+
+    # a value that never existed: empty, zero candidate keys
+    assert pipe.lookup_by("n_tok", [99999]).count() == 0
+    # unknown column errors loudly
+    with pytest.raises(ValueError, match="not in table schema"):
+        pipe.lookup_by("nope", [1])
+
+
+def test_lookup_by_version_history_exactness(spark, payload_bloom_pipe):
+    """A key whose OLD version matched but latest doesn't must NOT appear;
+    conversely a key matching in its latest version appears even if some
+    matching version lives in a file the candidate scan pruned (the key
+    lookup re-reads the full version set)."""
+    pipe = payload_bloom_pipe
+    raw = pipe.table.read(spark).select("doc_id", "n_tok", "_last_lsn")
+    state = {r["doc_id"]: r["n_tok"] for r in pipe.read_state().select("doc_id", "n_tok").collect()}
+    # some doc with >1 distinct historical n_tok (updates changed it)
+    hist = {}
+    for r in raw.collect():
+        hist.setdefault(r["doc_id"], set()).add(r["n_tok"])
+    movers = {d: v for d, v in hist.items() if len(v) > 1 and d in state}
+    if not movers:
+        pytest.skip("no doc changed n_tok in this seed")
+    doc, vals = next(iter(movers.items()))
+    stale = sorted(v for v in vals if v != state[doc])[0]
+    got = {r["doc_id"] for r in pipe.lookup_by("n_tok", [stale]).collect()}
+    assert doc not in got  # old-version match must not leak
+    live = state[doc]
+    got_live = {r["doc_id"] for r in pipe.lookup_by("n_tok", [live]).collect()}
+    assert doc in got_live
