@@ -35,8 +35,9 @@ input into a loud error instead of a silent wrong answer.
 - for graphs with truly giant components (not the dedup case) the
   large-star/small-star alternation (Kiveris et al., "Connected Components
   in MapReduce and Beyond") converges in O(log n) rounds — implemented as
-  ``connected_components_star`` (same label contract, exact anti-join
-  fixed-point test); ``dedup_clusters`` keeps min-label propagation because
+  ``connected_components_star`` (same label contract; the exact set-diff
+  fixed-point test rides the round's own distinct — zero extra shuffles);
+  ``dedup_clusters`` keeps min-label propagation because
   the LSH caps bound its pair-graph diameter and the per-round cost is one
   shuffle instead of two.
 

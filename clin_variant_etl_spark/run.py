@@ -172,8 +172,22 @@ def main(argv: list[str] | None = None) -> int:
         help="(mor drain/tail) fold a bucket when delta:base file ratio "
         "reaches this (see maintenance.fold_candidates for the full policy)",
     )
+    p.add_argument(
+        "--bloom-cols",
+        default=None,
+        help="comma-separated PAYLOAD columns to bloom per file in addition "
+        "to the key (enables --mode lookup --by-col secondary lookups; same "
+        "per-file cost model as --key-blooms)",
+    )
     # lookup-mode knobs (--mode lookup)
     p.add_argument("--keys", default=None, help="comma-separated keys to look up")
+    p.add_argument(
+        "--by-col",
+        default=None,
+        help="(lookup mode) treat --keys as values of this PAYLOAD column "
+        "(CdcPipeline.lookup_by; bloom-pruned when the table was ingested "
+        "with --bloom-cols including it)",
+    )
     args = p.parse_args(argv)
     if args.mode in ("drain", "tail") and not (args.events_dir and args.stream_checkpoint):
         p.error(f"--mode {args.mode} requires --events-dir and --stream-checkpoint")
@@ -234,7 +248,10 @@ def main(argv: list[str] | None = None) -> int:
                 f"spec key {key!r}; lookup always uses the table's own key"
             )
         pipe = CdcPipeline(spark, args.table, key_col=key)
-        rows = pipe.lookup([k for k in args.keys.split(",") if k]).collect()
+        probes = [k for k in args.keys.split(",") if k]
+        rows = (
+            pipe.lookup_by(args.by_col, probes) if args.by_col else pipe.lookup(probes)
+        ).collect()
         for r in rows:
             print(json.dumps(r.asDict(recursive=True), default=str))
         print(f"lookup: {len(rows)} row(s)", file=sys.stderr)
@@ -251,6 +268,7 @@ def main(argv: list[str] | None = None) -> int:
         apply_mode=args.apply_mode,
         dedup_variant=args.dedup_variant,
         key_blooms=args.key_blooms,
+        bloom_cols=tuple(c for c in (args.bloom_cols or "").split(",") if c),
     )
     schema = {
         "v1": CHANGE_EVENTS_SCHEMA,

@@ -170,3 +170,33 @@ def test_lookup_mode_rejects_mismatched_key_col(cli_env):
         main(["--mode", "lookup", "--table", cli_env["table"],
               "--keys", "whatever", "--key-col", "source"])
     assert ei.value.code == 2
+
+
+def test_lookup_by_col_mode(spark, cli_env, capsys):
+    """--mode lookup --by-col: secondary-column lookup through the CLI,
+    over a table ingested with --bloom-cols."""
+    import json
+
+    root = cli_env["root"]
+    argv = _drain_args(cli_env)
+    argv[argv.index("--table") + 1] = os.path.join(root, "docs_pb")
+    argv[argv.index("--stream-checkpoint") + 1] = os.path.join(root, "ckpt_pb")
+    argv[argv.index("--checkpoint-table") + 1] = os.path.join(root, "epochs_pb")
+    argv[argv.index("--lineage") + 1] = os.path.join(root, "lineage_pb")
+    assert main(argv + ["--key-blooms", "--bloom-cols", "n_tok"]) == 0
+    t = LakeTable(os.path.join(root, "docs_pb"))
+    assert all(
+        {"doc_id", "n_tok"} <= set(e.get("blooms") or {})
+        for e in t.current_snapshot().files
+    )
+    pipe = CdcPipeline(spark, os.path.join(root, "docs_pb"), apply_mode="mor")
+    val = pipe.read_state().limit(1).collect()[0]["n_tok"]
+    want = sorted(
+        r["doc_id"]
+        for r in pipe.read_state().where(F.col("n_tok") == val).collect()
+    )
+    capsys.readouterr()
+    assert main(["--mode", "lookup", "--table", os.path.join(root, "docs_pb"),
+                 "--keys", str(val), "--by-col", "n_tok"]) == 0
+    out = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["doc_id"] for r in out) == want
